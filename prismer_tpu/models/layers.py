@@ -1,0 +1,246 @@
+"""Shared neural-net building blocks.
+
+TPU-native counterparts of the reference's shared utils
+(reference: model/modules/utils.py):
+
+  * LayerNorm pinned to fp32 compute regardless of activation dtype
+    (utils.py:14-19) — a numerical-stability island inside bf16 flows.
+  * QuickGELU (utils.py:23-25) and SquaredReLU (utils.py:28-30).
+  * Bicubic positional-embedding interpolation (utils.py:34-44). The torch
+    reference uses F.interpolate(mode='bicubic', align_corners=False), whose
+    cubic kernel constant is a=-0.75; jax.image.resize uses a=-0.5, so we
+    build the exact separable interpolation matrices ourselves (static shapes
+    -> two small matmuls, MXU-friendly, bit-matching the torch operator).
+  * Adaptor: dim-preserving down/up projection with SquaredReLU and a pre- or
+    post-LayerNorm (utils.py:48-65).
+
+All modules are flax.linen, batch-first, with params kept in fp32 and compute
+in `dtype` (bf16 by default at the model level).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """x * sigmoid(1.702 x) — CLIP's GELU approximation (utils.py:23-25)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def squared_relu(x: jax.Array) -> jax.Array:
+    """relu(x)^2 (utils.py:28-30)."""
+    r = jax.nn.relu(x)
+    return r * r
+
+
+def gelu_exact(x: jax.Array) -> jax.Array:
+    """Exact (erf) GELU — matches HF transformers' default 'gelu'."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+ACTIVATIONS: dict[str, Callable[[jax.Array], jax.Array]] = {
+    "gelu": gelu_exact,
+    "quick_gelu": quick_gelu,
+    "squared_relu": squared_relu,
+    "relu": jax.nn.relu,
+}
+
+
+def fp32_layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                    eps: float = 1e-5) -> jax.Array:
+    """LayerNorm computed in fp32, result cast back to x.dtype (utils.py:14-19)."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+class LayerNorm(nn.Module):
+    """fp32-pinned LayerNorm with learnable scale/bias."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        return fp32_layer_norm(x, scale, bias, self.eps)
+
+
+@functools.lru_cache(maxsize=64)
+def _bicubic_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out_size, in_size) 1-D bicubic interpolation matrix.
+
+    Matches torch.nn.functional.interpolate(mode='bicubic',
+    align_corners=False): cubic convolution kernel with a=-0.75 and
+    edge-clamped sampling. Precomputed on host (shapes are static)."""
+    a = -0.75
+
+    def kernel(t: np.ndarray) -> np.ndarray:
+        t = np.abs(t)
+        out = np.where(
+            t <= 1.0,
+            (a + 2.0) * t**3 - (a + 3.0) * t**2 + 1.0,
+            np.where(t < 2.0, a * t**3 - 5.0 * a * t**2 + 8.0 * a * t - 4.0 * a, 0.0),
+        )
+        return out
+
+    scale = in_size / out_size
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    for i in range(out_size):
+        src = (i + 0.5) * scale - 0.5
+        base = int(np.floor(src))
+        frac = src - base
+        for k in range(-1, 3):
+            w = kernel(k - frac)
+            idx = min(max(base + k, 0), in_size - 1)
+            mat[i, idx] += w
+    return mat.astype(np.float32)
+
+
+def interpolate_pos_embed(pos_embed: jax.Array, target_len: int) -> jax.Array:
+    """Resize a square (L, D) positional-embedding grid to `target_len` tokens.
+
+    Reference semantics (model/modules/utils.py:34-44): reshape (L, D) to the
+    (S, S, D) grid, bicubic-resample to (S', S', D), flatten. No-op when sizes
+    match. Implemented as two static matmuls with the exact torch bicubic
+    operator (see _bicubic_matrix)."""
+    orig_size = int(round(pos_embed.shape[0] ** 0.5))
+    new_size = int(round(target_len ** 0.5))
+    if orig_size == new_size:
+        return pos_embed
+    d = pos_embed.shape[-1]
+    grid = pos_embed.reshape(orig_size, orig_size, d)
+    w = jnp.asarray(_bicubic_matrix(orig_size, new_size), dtype=jnp.float32)
+    g32 = grid.astype(jnp.float32)
+    # one-time, tiny matmuls: force full fp32 precision even on TPU
+    out = jnp.einsum("oi,ijd->ojd", w, g32, precision="highest")
+    out = jnp.einsum("oj,sjd->sod", w, out, precision="highest")
+    return out.reshape(new_size * new_size, d).astype(pos_embed.dtype)
+
+
+class Mlp(nn.Module):
+    """fc -> activation -> proj (CLIP block MLP / resampler MLP)."""
+
+    hidden_dim: int
+    out_dim: int
+    activation: str = "quick_gelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        act = ACTIVATIONS[self.activation]
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="c_fc")(x)
+        x = act(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="c_proj")(x)
+        return x
+
+
+class Adaptor(nn.Module):
+    """Dim-preserving adaptor: up(sq_relu(down(x))) with residual + LayerNorm.
+
+    norm_late=False (ViT flavour, utils.py:64): x + adaptor(LN(x))
+    norm_late=True  (decoder flavour, utils.py:62): LN(adaptor(x) + x)
+
+    The reference's 'bottleneck' ratio is 1 (no actual bottleneck,
+    utils.py:53-55); we keep the same shape so checkpoints convert."""
+
+    norm_late: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dim = x.shape[-1]
+        ln = LayerNorm(name="adaptor_ln")
+
+        def proj(h: jax.Array) -> jax.Array:
+            h = nn.Dense(dim, dtype=self.dtype, name="down_proj")(h)
+            h = squared_relu(h)
+            h = nn.Dense(dim, dtype=self.dtype, name="up_proj")(h)
+            return h
+
+        if self.norm_late:
+            return ln(proj(x) + x)
+        return proj(ln(x)) + x
+
+
+def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                          mask_bias: Optional[jax.Array] = None) -> jax.Array:
+    """Scaled dot-product attention with fp32 softmax accumulation.
+
+    q: (B, H, Lq, Dh); k/v: (B, H, Lk, Dh); mask_bias: additive fp32 bias
+    broadcastable to (B, H, Lq, Lk) (0 for keep, large-negative for drop).
+    Softmax always runs in fp32 (parity with roberta.py:118-121 and the
+    fp16-safe path of torch MultiheadAttention)."""
+    dh = q.shape[-1]
+    scale = 1.0 / np.sqrt(dh)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask_bias is not None:
+        scores = scores + mask_bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    probs = probs.astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    b, l, d = x.shape
+    return x.reshape(b, l, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jax.Array) -> jax.Array:
+    b, h, l, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * dh)
+
+
+class MultiHeadAttention(nn.Module):
+    """Generic MHA with separate q/k/v/out projections (all with bias).
+
+    Equivalent math to torch nn.MultiheadAttention (vit.py:41,
+    resampler.py:18); the torch packed in_proj is split into q/k/v by the
+    checkpoint converter. Supports a distinct key/value source for
+    cross-attention. Batch-first: (B, L, D)."""
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, kv: Optional[jax.Array] = None,
+                 mask_bias: Optional[jax.Array] = None) -> jax.Array:
+        dim = x.shape[-1]
+        kv = x if kv is None else kv
+        q = nn.Dense(dim, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(dim, dtype=self.dtype, name="k_proj")(kv)
+        v = nn.Dense(dim, dtype=self.dtype, name="v_proj")(kv)
+        q, k, v = (split_heads(t, self.num_heads) for t in (q, k, v))
+        out = dot_product_attention(q, k, v, mask_bias)
+        out = merge_heads(out)
+        return nn.Dense(dim, dtype=self.dtype, name="out_proj")(out)
+
+
+NEG_INF = -1e9  # additive mask fill; large-negative, fp32-safe
+
+
+def padding_mask_bias(attention_mask: jax.Array) -> jax.Array:
+    """(B, Lk) {0,1} padding mask -> (B, 1, 1, Lk) additive fp32 bias."""
+    bias = (1.0 - attention_mask.astype(jnp.float32)) * NEG_INF
+    return bias[:, None, None, :]
+
+
+def causal_mask_bias(length: int) -> jax.Array:
+    """(1, 1, L, L) additive causal bias (decoder self-attention)."""
+    mask = jnp.tril(jnp.ones((length, length), dtype=jnp.float32))
+    return ((1.0 - mask) * NEG_INF)[None, None, :, :]

@@ -1,0 +1,68 @@
+"""Prismer core model: multi-modal encoder + causal text decoder.
+
+Re-design of the reference assembly (model/prismer.py:15-37). Freeze modes
+(prepare_to_train, model/prismer.py:39-59) are NOT implemented by mutating
+parameters here — trainability is an optimizer-side partition of the param
+pytree (see prismer_tpu.train.optim.freeze_labels), which is the idiomatic
+JAX separation of sharding/trainability from the model definition. There is
+no FSDP `ignored_modules` equivalent (model/prismer.py:61-94) because
+sharding is likewise an external NamedSharding spec.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from prismer_tpu.config import PrismerConfig
+from prismer_tpu.models.roberta import Cache, RobertaCausalDecoder
+from prismer_tpu.models.vit import VisionTransformer
+
+Dtype = Any
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+           "float16": jnp.float16}
+
+
+class Prismer(nn.Module):
+    """Expert encoder + text decoder. All task heads build on these methods."""
+
+    cfg: PrismerConfig
+
+    def setup(self):
+        dtype = _DTYPES[self.cfg.dtype]
+        self.expert_encoder = VisionTransformer(self.cfg.vision, dtype=dtype)
+        self.text_decoder = RobertaCausalDecoder(self.cfg.decoder, dtype=dtype)
+
+    def encode(self, experts: Dict[str, Any], train: bool = False) -> jax.Array:
+        """Run the multi-modal encoder; returns (B, L, vision_hidden)."""
+        return self.expert_encoder(experts, train=train)
+
+    def decode_logits(self, input_ids: jax.Array, attention_mask: jax.Array,
+                      encoder_hidden_states: jax.Array,
+                      train: bool = False) -> jax.Array:
+        """Full-sequence decoder logits (training / rank scoring)."""
+        return self.text_decoder(input_ids, attention_mask,
+                                 encoder_hidden_states, train=train)
+
+    def __call__(self, experts: Dict[str, Any], input_ids: jax.Array,
+                 attention_mask: jax.Array, train: bool = False) -> jax.Array:
+        """Encoder + decoder forward -> (B, L, vocab) logits."""
+        enc = self.encode(experts, train=train)
+        return self.decode_logits(input_ids, attention_mask, enc, train=train)
+
+    # cached generation entry points (used under jit by generation.py)
+    def init_cache(self, input_ids: jax.Array, attention_mask: jax.Array,
+                   encoder_hidden_states: jax.Array,
+                   max_len: int) -> Tuple[jax.Array, Cache]:
+        return self.text_decoder.init_cache(
+            input_ids, attention_mask, encoder_hidden_states, max_len)
+
+    def decode_step(self, token_ids: jax.Array, index: jax.Array,
+                    position_ids: jax.Array, key_mask: jax.Array,
+                    cache: Cache) -> Tuple[jax.Array, Cache]:
+        return self.text_decoder.decode_step(
+            token_ids, index, position_ids, key_mask, cache)

@@ -1,0 +1,367 @@
+"""RoBERTa-style causal decoder with per-layer cross-attention and adaptors.
+
+TPU-native re-design of the reference decoder (model/modules/roberta.py):
+
+  * each decoder layer runs self-attn -> cross-attn -> adaptor -> MLP
+    (roberta.py:223-227); a final layer without cross-attention finishes the
+    stack (roberta.py:210,230-231).
+  * cross-attention keys/values project from `vision_hidden_size`
+    (roberta.py:87-89).
+  * RoBERTa position ids: pad positions are skipped, numbering starts at
+    pad_token_id + 1 (roberta.py:38-45).
+  * LM head = dense -> gelu -> LayerNorm -> tied-embedding projection + bias
+    (roberta.py:409-430).
+  * per-sample *summed* label-smoothed (0.1) cross-entropy (roberta.py:383-387).
+
+Major TPU-first departure: the reference has no KV cache — HF `generate`
+re-runs the full sequence every decode step (roberta.py:358-406). Here every
+attention layer supports an explicit, functional KV cache (a pytree threaded
+through `lax` decode loops), and cross-attention K/V are computed exactly once
+per sequence. Batch-first, static shapes, fp32 LayerNorm/softmax.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from prismer_tpu.config import TextDecoderConfig
+from prismer_tpu.models.layers import (NEG_INF, Adaptor, LayerNorm,
+                                       dot_product_attention, gelu_exact,
+                                       merge_heads, split_heads)
+
+Dtype = Any
+
+Cache = Dict[str, jax.Array]
+
+
+def create_position_ids(input_ids: jax.Array, attention_mask: jax.Array,
+                        padding_idx: int) -> jax.Array:
+    """Non-pad tokens numbered from padding_idx+1; pads get padding_idx
+    (roberta.py:38-45). Uses the attention mask as the pad indicator."""
+    mask = attention_mask.astype(jnp.int32)
+    return jnp.cumsum(mask, axis=1) * mask + padding_idx
+
+
+def decoder_mask_bias(attention_mask: jax.Array) -> jax.Array:
+    """HF get_extended_attention_mask(is_decoder=True): causal AND padding.
+
+    attention_mask: (B, L) of {0,1}. Returns (B, 1, L, L) additive fp32."""
+    b, l = attention_mask.shape
+    causal = jnp.tril(jnp.ones((l, l), dtype=jnp.float32))
+    combined = causal[None, :, :] * attention_mask.astype(jnp.float32)[:, None, :]
+    return ((1.0 - combined) * NEG_INF)[:, None, :, :]
+
+
+class SelfAttentionCore(nn.Module):
+    """q/k/v projections + fp32-softmax attention (roberta.py:79-126).
+
+    kv_dim lets cross-attention project keys/values from the vision width.
+    Exposes separate q / kv paths so the KV cache can be maintained outside."""
+
+    cfg: TextDecoderConfig
+    kv_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        d = self.cfg.hidden_size
+        self.query = nn.Dense(d, dtype=self.dtype)
+        self.key = nn.Dense(d, dtype=self.dtype)
+        self.value = nn.Dense(d, dtype=self.dtype)
+
+    def project_q(self, hidden: jax.Array) -> jax.Array:
+        return split_heads(self.query(hidden), self.cfg.num_attention_heads)
+
+    def project_kv(self, source: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        k = split_heads(self.key(source), self.cfg.num_attention_heads)
+        v = split_heads(self.value(source), self.cfg.num_attention_heads)
+        return k, v
+
+    def __call__(self, hidden: jax.Array, kv_source: jax.Array,
+                 mask_bias: Optional[jax.Array]) -> jax.Array:
+        q = self.project_q(hidden)
+        k, v = self.project_kv(kv_source)
+        return merge_heads(dot_product_attention(q, k, v, mask_bias))
+
+    def attend(self, hidden: jax.Array, k: jax.Array, v: jax.Array,
+               mask_bias: Optional[jax.Array]) -> jax.Array:
+        """Attention against externally supplied (cached) K/V."""
+        q = self.project_q(hidden)
+        return merge_heads(dot_product_attention(q, k, v, mask_bias))
+
+
+class AttentionOutput(nn.Module):
+    """dense -> dropout -> LayerNorm(residual) (roberta.py:129-140)."""
+
+    cfg: TextDecoderConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.dense = nn.Dense(self.cfg.hidden_size, dtype=self.dtype)
+        self.ln = LayerNorm(eps=self.cfg.layer_norm_eps)
+        self.dropout = nn.Dropout(self.cfg.hidden_dropout_prob)
+
+    def __call__(self, hidden: jax.Array, residual: jax.Array,
+                 train: bool = False) -> jax.Array:
+        hidden = self.dense(hidden)
+        hidden = self.dropout(hidden, deterministic=not train)
+        return self.ln(hidden + residual)
+
+
+class FeedForward(nn.Module):
+    """intermediate dense+gelu then output dense + LN(residual)
+    (roberta.py:160-183)."""
+
+    cfg: TextDecoderConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.intermediate = nn.Dense(self.cfg.intermediate_size, dtype=self.dtype)
+        self.out = AttentionOutput(self.cfg, dtype=self.dtype)
+
+    def __call__(self, hidden: jax.Array, train: bool = False) -> jax.Array:
+        h = gelu_exact(self.intermediate(hidden))
+        return self.out(h, hidden, train=train)
+
+
+class DecoderLayer(nn.Module):
+    """[self-attn, cross-attn, adaptor, MLP] (roberta.py:205-227).
+
+    with_cross=False gives the final output_layer (roberta.py:210)."""
+
+    cfg: TextDecoderConfig
+    with_cross: bool = True
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.self_attn = SelfAttentionCore(self.cfg, dtype=self.dtype)
+        self.self_out = AttentionOutput(self.cfg, dtype=self.dtype)
+        if self.with_cross:
+            self.cross_attn = SelfAttentionCore(
+                self.cfg, kv_dim=self.cfg.vision_hidden_size, dtype=self.dtype)
+            self.cross_out = AttentionOutput(self.cfg, dtype=self.dtype)
+            self.adaptor = Adaptor(norm_late=True, dtype=self.dtype)
+        self.mlp = FeedForward(self.cfg, dtype=self.dtype)
+
+    def __call__(self, hidden: jax.Array, mask_bias: jax.Array,
+                 encoder_hidden_states: Optional[jax.Array],
+                 train: bool = False) -> jax.Array:
+        h = self.self_attn(hidden, hidden, mask_bias)
+        hidden = self.self_out(h, hidden, train=train)
+        if self.with_cross:
+            h = self.cross_attn(hidden, encoder_hidden_states, None)
+            hidden = self.cross_out(h, hidden, train=train)
+            hidden = self.adaptor(hidden)
+        return self.mlp(hidden, train=train)
+
+    # ---- cached decode paths -------------------------------------------
+    def prefill(self, hidden: jax.Array, mask_bias: jax.Array,
+                cross_k: Optional[jax.Array], cross_v: Optional[jax.Array],
+                max_len: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Full pass over the prompt; returns (hidden, k_cache, v_cache) with
+        the prompt K/V written at positions [0, L) of a (B,H,max_len,Dh) buffer."""
+        k, v = self.self_attn.project_kv(hidden)
+        h = self.self_attn.attend(hidden, k, v, mask_bias)
+        hidden = self.self_out(h, hidden)
+        if self.with_cross:
+            h = self.cross_attn.attend(hidden, cross_k, cross_v, None)
+            hidden = self.cross_out(h, hidden)
+            hidden = self.adaptor(hidden)
+        hidden = self.mlp(hidden)
+        b, nh, l, dh = k.shape
+        pad = [(0, 0), (0, 0), (0, max_len - l), (0, 0)]
+        return hidden, jnp.pad(k, pad), jnp.pad(v, pad)
+
+    def decode_step(self, hidden: jax.Array, index: jax.Array,
+                    k_cache: jax.Array, v_cache: jax.Array,
+                    key_mask_bias: jax.Array,
+                    cross_k: Optional[jax.Array], cross_v: Optional[jax.Array]
+                    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """One-token step: write K/V at `index`, attend over the whole cache."""
+        k_new, v_new = self.self_attn.project_kv(hidden)  # (B,H,1,Dh)
+        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, index, axis=2)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, index, axis=2)
+        h = self.self_attn.attend(hidden, k_cache, v_cache, key_mask_bias)
+        hidden = self.self_out(h, hidden)
+        if self.with_cross:
+            h = self.cross_attn.attend(hidden, cross_k, cross_v, None)
+            hidden = self.cross_out(h, hidden)
+            hidden = self.adaptor(hidden)
+        return self.mlp(hidden), k_cache, v_cache
+
+    def project_cross_kv(self, encoder_hidden_states: jax.Array):
+        return self.cross_attn.project_kv(encoder_hidden_states)
+
+
+class Embeddings(nn.Module):
+    """word + position + token-type embeddings, LN, dropout
+    (roberta.py:48-76). Exposes the word table for LM-head weight tying."""
+
+    cfg: TextDecoderConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        init = nn.initializers.normal(c.initializer_range)
+        self.word_embeddings = self.param(
+            "word_embeddings", init, (c.vocab_size, c.hidden_size), jnp.float32)
+        self.position_embeddings = self.param(
+            "position_embeddings", init,
+            (c.max_position_embeddings, c.hidden_size), jnp.float32)
+        self.token_type_embeddings = self.param(
+            "token_type_embeddings", init,
+            (c.type_vocab_size, c.hidden_size), jnp.float32)
+        self.ln = LayerNorm(eps=c.layer_norm_eps)
+        self.dropout = nn.Dropout(c.hidden_dropout_prob)
+
+    def __call__(self, input_ids: jax.Array, position_ids: jax.Array,
+                 train: bool = False) -> jax.Array:
+        emb = (self.word_embeddings[input_ids]
+               + self.position_embeddings[position_ids]
+               + self.token_type_embeddings[0][None, None, :])
+        emb = self.ln(emb.astype(self.dtype))
+        return self.dropout(emb, deterministic=not train)
+
+
+class LMHead(nn.Module):
+    """dense -> gelu -> LN -> tied-embedding decoder + bias (roberta.py:409-426)."""
+
+    cfg: TextDecoderConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.dense = nn.Dense(self.cfg.hidden_size, dtype=self.dtype)
+        self.ln = LayerNorm(eps=self.cfg.layer_norm_eps)
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.cfg.vocab_size,), jnp.float32)
+
+    def __call__(self, hidden: jax.Array, word_embeddings: jax.Array) -> jax.Array:
+        h = self.ln(gelu_exact(self.dense(hidden)))
+        logits = jnp.einsum("bld,vd->blv", h.astype(jnp.float32),
+                            word_embeddings.astype(jnp.float32))
+        return logits + self.bias[None, None, :]
+
+
+class RobertaCausalDecoder(nn.Module):
+    """The full decoder: embeddings -> N x DecoderLayer -> output layer -> LM head.
+
+    Three entry points:
+      __call__        — full-sequence logits (training / rank scoring)
+      init_cache      — prefill prompt, build KV cache, return last logits
+      decode_step     — one cached token step
+    """
+
+    cfg: TextDecoderConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.embeddings = Embeddings(c, dtype=self.dtype)
+        self.layers = [DecoderLayer(c, with_cross=True, dtype=self.dtype,
+                                    name=f"layers_{i}")
+                       for i in range(c.num_hidden_layers)]
+        self.output_layer = DecoderLayer(c, with_cross=False, dtype=self.dtype)
+        self.lm_head = LMHead(c, dtype=self.dtype)
+
+    # -- full sequence ----------------------------------------------------
+    def __call__(self, input_ids: jax.Array, attention_mask: jax.Array,
+                 encoder_hidden_states: jax.Array,
+                 train: bool = False) -> jax.Array:
+        c = self.cfg
+        position_ids = create_position_ids(input_ids, attention_mask, c.pad_token_id)
+        hidden = self.embeddings(input_ids, position_ids, train=train)
+        mask_bias = decoder_mask_bias(attention_mask)
+        enc = encoder_hidden_states.astype(self.dtype)
+        for layer in self.layers:
+            hidden = layer(hidden, mask_bias, enc, train=train)
+        hidden = self.output_layer(hidden, mask_bias, None, train=train)
+        return self.lm_head(hidden, self.embeddings.word_embeddings)
+
+    # -- cached decode ------------------------------------------------------
+    def init_cache(self, input_ids: jax.Array, attention_mask: jax.Array,
+                   encoder_hidden_states: jax.Array, max_len: int
+                   ) -> Tuple[jax.Array, Cache]:
+        """Prefill the (right-padded) prompt. Returns (last-position logits,
+        cache). The next-token distribution is logits at column L-1, matching
+        HF generate on right-padded prompts."""
+        c = self.cfg
+        position_ids = create_position_ids(input_ids, attention_mask, c.pad_token_id)
+        hidden = self.embeddings(input_ids, position_ids)
+        mask_bias = decoder_mask_bias(attention_mask)
+        enc = encoder_hidden_states.astype(self.dtype)
+
+        ks, vs, cks, cvs = [], [], [], []
+        for layer in self.layers:
+            ck, cv = layer.project_cross_kv(enc)
+            cks.append(ck)
+            cvs.append(cv)
+            hidden, k, v = layer.prefill(hidden, mask_bias, ck, cv, max_len)
+            ks.append(k)
+            vs.append(v)
+        hidden, k, v = self.output_layer.prefill(hidden, mask_bias, None, None, max_len)
+        ks.append(k)
+        vs.append(v)
+
+        logits = self.lm_head(hidden[:, -1:, :], self.embeddings.word_embeddings)
+        cache = {
+            "self_k": jnp.stack(ks), "self_v": jnp.stack(vs),
+            "cross_k": jnp.stack(cks), "cross_v": jnp.stack(cvs),
+        }
+        return logits[:, 0, :], cache
+
+    def decode_step(self, token_ids: jax.Array, index: jax.Array,
+                    position_ids: jax.Array, key_mask: jax.Array,
+                    cache: Cache) -> Tuple[jax.Array, Cache]:
+        """One decode step.
+
+        token_ids: (B,) current tokens; index: scalar write position;
+        position_ids: (B,) RoBERTa position ids for these tokens;
+        key_mask: (B, max_len) {0,1} validity of every cache slot (after this
+        token is written). Returns (next-token logits (B, V), updated cache)."""
+        hidden = self.embeddings(token_ids[:, None], position_ids[:, None])
+        key_bias = ((1.0 - key_mask.astype(jnp.float32)) * NEG_INF)[:, None, None, :]
+
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            hidden, k, v = layer.decode_step(
+                hidden, index, cache["self_k"][i], cache["self_v"][i],
+                key_bias, cache["cross_k"][i], cache["cross_v"][i])
+            new_k.append(k)
+            new_v.append(v)
+        hidden, k, v = self.output_layer.decode_step(
+            hidden, index, cache["self_k"][-1], cache["self_v"][-1],
+            key_bias, None, None)
+        new_k.append(k)
+        new_v.append(v)
+
+        logits = self.lm_head(hidden, self.embeddings.word_embeddings)
+        cache = dict(cache, self_k=jnp.stack(new_k), self_v=jnp.stack(new_v))
+        return logits[:, 0, :], cache
+
+
+def label_smoothed_loss(logits: jax.Array, labels: jax.Array,
+                        smoothing: float = 0.1) -> jax.Array:
+    """Per-sample summed label-smoothed CE with -100 ignore (roberta.py:383-387).
+
+    Matches torch.nn.CrossEntropyLoss(reduction='none', label_smoothing=0.1)
+    followed by .view(B, -1).sum(1): logits are shifted off the last position,
+    labels off the first, positions with label == -100 contribute zero."""
+    shift_logits = logits[:, :-1, :].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != -100
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    smooth = -jnp.mean(logp, axis=-1)
+    per_tok = (1.0 - smoothing) * nll + smoothing * smooth
+    per_tok = jnp.where(valid, per_tok, 0.0)
+    return jnp.sum(per_tok, axis=1)
+
+
+def num_valid_targets(labels: jax.Array) -> jax.Array:
+    """Count of supervised positions per sample on the *unshifted* labels —
+    the exact rank-inference normalizer (prismer_vqa.py:108)."""
+    return jnp.sum((labels != -100).astype(jnp.int32), axis=1)
