@@ -1,0 +1,273 @@
+"""Jit-compiled, KV-cached beam search and rank inference.
+
+Replaces the reference's HF `PreTrainedModel.generate` path, which re-runs
+the FULL decoder over the whole sequence every step with no KV cache
+(reference: model/modules/roberta.py:358-406 has no past_key_values path;
+called from model/prismer_caption.py:45-50 and model/prismer_vqa.py:51-57).
+Here decoding is a single `lax.while_loop` over one-token cached steps —
+O(T) instead of O(T^2) decoder work — with HF beam-search semantics
+replicated so generated text matches the reference checkpoints:
+
+  * beams expand to 2K candidates/step; EOS candidates ranked >= K are
+    dropped; EOS candidates within top-K retire to the finished set with
+    score = sum_logprob / len(seq)**length_penalty; the top-K non-EOS
+    candidates continue.
+  * MinLengthLogitsProcessor: EOS is masked while cur_len < min_length.
+  * early_stopping=False done-rule: a sample is done when its worst finished
+    score can no longer be beaten by best_alive / cur_len**penalty.
+  * finalize: still-alive beams join the finished pool for samples that
+    never finished.
+
+Rank inference (prismer_caption.py:59-112, prismer_vqa.py:64-113) is a
+two-pass jitted function over a static padded answer table.
+
+Everything is batch-first, statically shaped, and usable under jit/pjit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prismer_tpu.models.prismer import Prismer
+from prismer_tpu.models.roberta import (label_smoothed_loss,
+                                        num_valid_targets)
+
+NEG_INF = -1.0e7
+
+
+class BeamState(NamedTuple):
+    index: jax.Array          # scalar int32: current total length / write pos
+    alive_seqs: jax.Array     # (B, K, T)
+    alive_scores: jax.Array   # (B, K) raw sum-logprob
+    logits: jax.Array         # (B, K, V) for position index-1 -> selects token at index
+    cache: Any                # decoder KV cache, batch dim = B*K
+    finished_seqs: jax.Array  # (B, K, T)
+    finished_scores: jax.Array  # (B, K) length-penalized, -inf empty
+    prompt_nonpad: jax.Array  # (B,) prompt non-pad counts
+
+
+def _flat(x):
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def _unflat(x, b, k):
+    return x.reshape((b, k) + x.shape[1:])
+
+
+def _gather_beams(x: jax.Array, beam_idx: jax.Array) -> jax.Array:
+    """x: (B, K, ...), beam_idx: (B, K) -> reorder along beam dim."""
+    return jnp.take_along_axis(
+        x, beam_idx.reshape(beam_idx.shape + (1,) * (x.ndim - 2)), axis=1)
+
+
+def beam_search(model: Prismer, variables: Dict[str, Any],
+                encoder_hidden_states: jax.Array, prompt_ids: jax.Array,
+                prompt_mask: jax.Array, *, num_beams: int, max_length: int,
+                min_length: int, length_penalty: float = 1.0,
+                eos_token_id: int = 2, pad_token_id: int = 1
+                ) -> Tuple[jax.Array, jax.Array]:
+    """Returns (sequences (B, max_length), scores (B,)).
+
+    `max_length`/`min_length` count TOTAL length including the prompt
+    (HF semantics; reference caption: max 20 / min 8 from a ~5-token prefix,
+    prismer_caption.py:45-50; VQA: prompt_len+10 / +2 with length_penalty=-1,
+    prismer_vqa.py:51-57)."""
+    b, p = prompt_ids.shape
+    k = num_beams
+    t = max_length
+    assert p < t, "prompt longer than max_length"
+
+    # tile prompt and encoder states to B*K rows
+    tile = lambda x: jnp.repeat(x, k, axis=0)
+    enc_tiled = tile(encoder_hidden_states)
+    ids_tiled = tile(prompt_ids)
+    mask_tiled = tile(prompt_mask)
+
+    last_logits, cache = model.apply(
+        variables, ids_tiled, mask_tiled, enc_tiled, t,
+        method=Prismer.init_cache)
+    vocab = last_logits.shape[-1]
+
+    alive_seqs = jnp.full((b, k, t), pad_token_id, dtype=jnp.int32)
+    alive_seqs = alive_seqs.at[:, :, :p].set(prompt_ids[:, None, :])
+    alive_scores = jnp.tile(
+        jnp.asarray([0.0] + [NEG_INF] * (k - 1), jnp.float32), (b, 1))
+
+    state = BeamState(
+        index=jnp.asarray(p, jnp.int32),
+        alive_seqs=alive_seqs,
+        alive_scores=alive_scores,
+        logits=_unflat(last_logits, b, k),
+        cache=cache,
+        finished_seqs=jnp.full((b, k, t), pad_token_id, dtype=jnp.int32),
+        finished_scores=jnp.full((b, k), NEG_INF, jnp.float32),
+        prompt_nonpad=jnp.sum(prompt_mask, axis=1).astype(jnp.int32),
+    )
+
+    def batch_done(st: BeamState) -> jax.Array:
+        """(B,) early_stopping=False rule."""
+        worst_finished = jnp.min(st.finished_scores, axis=1)
+        best_alive = jnp.max(st.alive_scores, axis=1)
+        cur_len = st.index.astype(jnp.float32)
+        best_possible = best_alive / (cur_len ** length_penalty)
+        return worst_finished >= best_possible
+
+    def cond(st: BeamState) -> jax.Array:
+        return jnp.logical_and(st.index < t,
+                               jnp.logical_not(jnp.all(batch_done(st))))
+
+    def body(st: BeamState) -> BeamState:
+        logprobs = jax.nn.log_softmax(st.logits, axis=-1)
+        logprobs = jnp.where(
+            (st.index < min_length)
+            & (jnp.arange(vocab)[None, None, :] == eos_token_id),
+            NEG_INF, logprobs)
+
+        cand = st.alive_scores[:, :, None] + logprobs  # (B, K, V)
+        top_scores, top_flat = jax.lax.top_k(cand.reshape(b, k * vocab), 2 * k)
+        top_beam = top_flat // vocab     # (B, 2K)
+        top_token = top_flat % vocab
+
+        is_eos = top_token == eos_token_id
+        rank = jnp.broadcast_to(jnp.arange(2 * k)[None, :], (b, 2 * k))
+
+        done_now = batch_done(st)
+
+        # --- retire EOS candidates within top-K rank -----------------------
+        cur_len = st.index.astype(jnp.float32)
+        pen_scores = top_scores / (cur_len ** length_penalty)
+        fin_cand_valid = is_eos & (rank < k) & ~done_now[:, None]
+        fin_cand_scores = jnp.where(fin_cand_valid, pen_scores, NEG_INF)
+        fin_cand_seqs = _gather_beams(st.alive_seqs, top_beam)  # (B,2K,T)
+        # write the EOS at position index
+        fin_cand_seqs = jax.lax.dynamic_update_slice_in_dim(
+            fin_cand_seqs,
+            jnp.full((b, 2 * k, 1), eos_token_id, jnp.int32),
+            st.index, axis=2)
+
+        merged_scores = jnp.concatenate(
+            [st.finished_scores, fin_cand_scores], axis=1)  # (B, 3K)
+        merged_seqs = jnp.concatenate(
+            [st.finished_seqs, fin_cand_seqs], axis=1)      # (B, 3K, T)
+        new_fin_scores, fin_idx = jax.lax.top_k(merged_scores, k)
+        new_fin_seqs = _gather_beams(merged_seqs, fin_idx)
+
+        # --- continue with top-K non-EOS candidates ------------------------
+        cont_scores = jnp.where(is_eos, NEG_INF, top_scores)
+        new_alive_scores, cont_idx = jax.lax.top_k(cont_scores, k)  # (B, K)
+        new_alive_beam = jnp.take_along_axis(top_beam, cont_idx, axis=1)
+        new_tokens = jnp.take_along_axis(top_token, cont_idx, axis=1)
+
+        new_alive_seqs = _gather_beams(st.alive_seqs, new_alive_beam)
+        new_alive_seqs = jax.lax.dynamic_update_slice_in_dim(
+            new_alive_seqs, new_tokens[:, :, None].astype(jnp.int32),
+            st.index, axis=2)
+
+        # freeze state for done samples
+        keep = done_now[:, None]
+        new_alive_scores = jnp.where(keep, st.alive_scores, new_alive_scores)
+        new_alive_seqs = jnp.where(keep[:, :, None], st.alive_seqs,
+                                   new_alive_seqs)
+        new_fin_scores = jnp.where(keep, st.finished_scores, new_fin_scores)
+        new_fin_seqs = jnp.where(keep[:, :, None], st.finished_seqs,
+                                 new_fin_seqs)
+        new_tokens = jnp.where(keep, pad_token_id, new_tokens)
+
+        # --- reorder cache and take one decode step ------------------------
+        flat_beam = (new_alive_beam
+                     + jnp.arange(b)[:, None] * k).reshape(-1)  # (B*K,)
+        cache = jax.tree.map(
+            lambda x: jnp.take(x, flat_beam, axis=1) if x.ndim >= 2 else x,
+            st.cache)
+
+        pos_ids = (st.prompt_nonpad[:, None] + (st.index - p) + 1
+                   + pad_token_id)  # (B, 1) broadcast over beams
+        pos_ids = jnp.broadcast_to(pos_ids, (b, k)).reshape(-1)
+
+        positions = jnp.arange(t)[None, :]
+        key_mask_b = jnp.where(
+            positions < p,
+            jnp.pad(prompt_mask, ((0, 0), (0, t - p))),
+            (positions <= st.index).astype(prompt_mask.dtype))  # (B, T)
+        key_mask = jnp.repeat(key_mask_b, k, axis=0)
+
+        step_logits, cache = model.apply(
+            variables, new_tokens.reshape(-1), st.index, pos_ids,
+            key_mask, cache, method=Prismer.decode_step)
+
+        return BeamState(
+            index=st.index + 1,
+            alive_seqs=new_alive_seqs,
+            alive_scores=new_alive_scores,
+            logits=_unflat(step_logits, b, k),
+            cache=cache,
+            finished_seqs=new_fin_seqs,
+            finished_scores=new_fin_scores,
+            prompt_nonpad=st.prompt_nonpad,
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+
+    # finalize: alive beams join the pool for samples that never finished
+    final_len = state.index.astype(jnp.float32)
+    alive_pen = state.alive_scores / (final_len ** length_penalty)
+    not_done = jnp.logical_not(batch_done(state))
+    alive_pen = jnp.where(not_done[:, None], alive_pen, NEG_INF)
+    all_scores = jnp.concatenate([state.finished_scores, alive_pen], axis=1)
+    all_seqs = jnp.concatenate([state.finished_seqs, state.alive_seqs], axis=1)
+    best = jnp.argmax(all_scores, axis=1)
+    seqs = jnp.take_along_axis(all_seqs, best[:, None, None], axis=1)[:, 0]
+    scores = jnp.take_along_axis(all_scores, best[:, None], axis=1)[:, 0]
+    return seqs, scores
+
+
+def rank_answers(model: Prismer, variables: Dict[str, Any],
+                 encoder_hidden_states: jax.Array, prompt_ids: jax.Array,
+                 prompt_mask: jax.Array, answer_ids: jax.Array,
+                 answer_mask: jax.Array, *, k_test: int,
+                 pad_token_id: int = 1) -> jax.Array:
+    """Two-pass rank inference (prismer_caption.py:59-112, prismer_vqa.py:64-113).
+
+    answer_ids/mask: (A, La) padded candidate answers (tokenized with
+    add_special_tokens=False, trailing '</s>'). Returns (B,) best answer ids.
+
+    Pass 1: decoder over the prompt; softmax of the last position's logits,
+    gathered at each answer's first token; top-k_test candidates per sample.
+    Pass 2: decoder over [prompt ; answer] for each candidate; candidates are
+    scored by length-normalized label-smoothed log-prob and argmax'd."""
+    b, p = prompt_ids.shape
+    a, la = answer_ids.shape
+
+    logits = model.apply(variables, prompt_ids, prompt_mask,
+                         encoder_hidden_states,
+                         method=Prismer.decode_logits)
+    probs = jax.nn.softmax(logits[:, -1, :], axis=-1)
+    first_tok_prob = probs[:, answer_ids[:, 0]]          # (B, A)
+    _, topk_ids = jax.lax.top_k(first_tok_prob, k_test)  # (B, k)
+
+    cand_ids = answer_ids[topk_ids]        # (B, k, La)
+    cand_mask = answer_mask[topk_ids]      # (B, k, La)
+
+    full_ids = jnp.concatenate([
+        jnp.broadcast_to(prompt_ids[:, None, :], (b, k_test, p)),
+        cand_ids], axis=2).reshape(b * k_test, p + la)
+    full_mask = jnp.concatenate([
+        jnp.broadcast_to(prompt_mask[:, None, :], (b, k_test, p)),
+        cand_mask], axis=2).reshape(b * k_test, p + la)
+
+    targets = jnp.where(full_ids == pad_token_id, -100, full_ids)
+    targets = targets.at[:, :p].set(-100)
+
+    enc_tiled = jnp.repeat(encoder_hidden_states, k_test, axis=0)
+    out_logits = model.apply(variables, full_ids, full_mask, enc_tiled,
+                             method=Prismer.decode_logits)
+    loss = label_smoothed_loss(out_logits, targets)
+    denom = jnp.maximum(num_valid_targets(targets), 1)
+    scores = (-loss / denom).reshape(b, k_test)
+    best = jnp.argmax(scores, axis=1)
+    return jnp.take_along_axis(topk_ids, best[:, None], axis=1)[:, 0]
