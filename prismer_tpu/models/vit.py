@@ -184,7 +184,11 @@ class VisionTransformer(nn.Module):
                 key, shape, jnp.float32),
             (cfg.num_instance_slots, cfg.width),
         )
-        key = self.make_rng("instance")
+        # the reference re-rolls python randint every forward, train AND eval
+        # (vit.py:146); we use the 'instance' RNG stream when provided and a
+        # fixed key otherwise (deterministic eval)
+        key = (self.make_rng("instance") if self.has_rng("instance")
+               else jax.random.key(0))
         slots = jax.random.randint(key, (cfg.max_instances,), 0,
                                    cfg.num_instance_slots)
         inst_small = nearest_resize(instance.astype(jnp.int32),

@@ -1,0 +1,95 @@
+"""Device mesh + sharding specs.
+
+The reference's distributed runtime is HF accelerate over NCCL: DDP
+allreduce, FSDP ZeRO-2/3 wrappers with ignored_modules (train_caption.py:
+56-93). TPU-native, all of that is a *sharding spec*, not a wrapper:
+
+  * data parallelism  = batch sharded on the 'data' mesh axis; gradient
+    psum inserted by GSPMD.
+  * ZeRO-3 / FSDP     = parameters NamedSharding'd along 'data'; XLA
+    schedules the all-gather/reduce-scatter pairs.
+  * ZeRO-2            = parameters replicated, optimizer state sharded.
+  * tensor parallelism = optional 'model' axis (reference has none, P4).
+
+Frozen-parameter exclusion (the reference's ignored_modules machinery,
+model/prismer.py:61-94) is unnecessary: trainability is an optax partition
+(train/optim.py) — orthogonal to sharding by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """1-D or 2-D mesh over ICI. Default: all devices on the 'data' axis."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, axis_names=("data", "model"))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) dim on 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device-put a host batch pytree with batch-dim sharding."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch)
+
+
+# -- FSDP-style parameter sharding ------------------------------------------
+
+_FSDP_MIN_SIZE = 2 ** 16  # replicate anything smaller (LN scales, biases)
+
+
+def _fsdp_spec(path: str, x: Any, mesh: Mesh,
+               min_size: int = _FSDP_MIN_SIZE) -> P:
+    n = mesh.shape["data"]
+    shape = np.shape(x)
+    if np.prod(shape, dtype=np.int64) < min_size or not shape:
+        return P()
+    # shard the largest divisible dim on 'data' (ZeRO-3 analog of the
+    # reference's per-layer FULL_SHARD wrap policy, train_caption.py:68-91)
+    order = np.argsort(shape)[::-1]
+    for d in order:
+        if shape[d] % n == 0:
+            spec = [None] * len(shape)
+            spec[d] = "data"
+            return P(*spec)
+    return P()
+
+
+def param_shardings(params: Any, mesh: Mesh, fsdp: bool = False,
+                    min_size: int = _FSDP_MIN_SIZE) -> Any:
+    """Pytree of NamedShardings for a param/opt-state tree.
+
+    fsdp=False -> fully replicated (plain DP; grads psum'd by GSPMD).
+    fsdp=True  -> ZeRO-3-style: tensors >= min_size sharded along 'data'."""
+    if not fsdp:
+        return jax.tree.map(lambda x: replicate_sharding(mesh), params)
+
+    def to_sharding(path, x):
+        return NamedSharding(
+            mesh, _fsdp_spec(jax.tree_util.keystr(path), x, mesh, min_size))
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def shard_params(params: Any, mesh: Mesh, fsdp: bool = False,
+                 min_size: int = _FSDP_MIN_SIZE) -> Any:
+    """Device-put params with the chosen sharding."""
+    sh = param_shardings(params, mesh, fsdp=fsdp, min_size=min_size)
+    return jax.tree.map(jax.device_put, params, sh)

@@ -1,0 +1,87 @@
+"""Jitted training / eval steps with GSPMD data parallelism.
+
+Replaces the reference's accelerate loop (train_caption.py:126-136:
+per-step LR poke, model(...), accelerator.backward, optimizer.step with NCCL
+allreduce). Here one jitted function computes loss, grads, and the optax
+update; gradient synchronization over the 'data' mesh axis is inserted by
+GSPMD from the shardings alone.
+
+Frozen parameters (freeze modes) are wrapped in stop_gradient inside the
+loss, so the backward pass through a frozen trunk is pruned by XLA — the
+compute-side analog of requires_grad=False, stronger than just zeroing the
+update.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from prismer_tpu.models.prismer import Prismer
+from prismer_tpu.models.roberta import label_smoothed_loss
+from prismer_tpu.train.optim import TRAIN
+from prismer_tpu.train.state import TrainState
+
+
+def _merge_frozen(params: Any, labels: Optional[Any]) -> Any:
+    if labels is None:
+        return params
+    return jax.tree.map(
+        lambda p, l: p if l == TRAIN else jax.lax.stop_gradient(p),
+        params, labels)
+
+
+def build_train_step(model: Prismer, tx: optax.GradientTransformation,
+                     freeze_tree: Optional[Any] = None,
+                     donate: bool = True) -> Callable:
+    """Returns jitted (state, batch) -> (state, metrics).
+
+    batch: {'experts': pytree, 'input_ids': (B,L), 'attention_mask': (B,L),
+            'targets': (B,L) with -100 ignore, optional 'weights': (B,)}."""
+
+    def loss_fn(params, batch_stats, batch, dropout_rng, instance_rng):
+        p = _merge_frozen(params, freeze_tree)
+        variables = {"params": p, "batch_stats": batch_stats}
+        rngs = {"dropout": dropout_rng, "instance": instance_rng}
+        logits, mutated = model.apply(
+            variables, batch["experts"], batch["input_ids"],
+            batch["attention_mask"], train=True, rngs=rngs,
+            mutable=["batch_stats"])
+        per_sample = label_smoothed_loss(logits, batch["targets"])
+        if "weights" in batch:
+            per_sample = per_sample * batch["weights"]
+        return jnp.mean(per_sample), mutated.get("batch_stats", {})
+
+    def step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, Any]]:
+        rng, dropout_rng, instance_rng = jax.random.split(state.rng, 3)
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
+                                   dropout_rng, instance_rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt,
+            batch_stats=new_stats if new_stats else state.batch_stats,
+            rng=rng)
+        return new_state, {"loss": loss}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def build_eval_loss_step(model: Prismer) -> Callable:
+    """Jitted eval-mode loss (no dropout, BN running stats)."""
+
+    def step(variables, batch):
+        logits = model.apply(variables, batch["experts"],
+                             batch["input_ids"], batch["attention_mask"],
+                             train=False)
+        per_sample = label_smoothed_loss(logits, batch["targets"])
+        if "weights" in batch:
+            per_sample = per_sample * batch["weights"]
+        return jnp.mean(per_sample)
+
+    return jax.jit(step)
