@@ -1,0 +1,128 @@
+"""Joint image + expert-label transform (host side, PIL + numpy).
+
+Replicates dataset/utils.py:23-71 without torchvision:
+
+  * train: RandomResizedCrop params (scale cfg, ratio 3/4..4/3) applied
+    identically to RGB and all label maps (utils.py:33-37)
+  * RGB resized (bicubic) to image_resolution; labels to FIXED 224x224
+    NEAREST (utils.py:40-43)
+  * joint horizontal flip p=0.5 (utils.py:46-51), RandAugment(2,5)
+  * to arrays: dense labels -> float32 [0,1]; id labels -> uint8 ids — the
+    (tensor*255).long() quantization (utils.py:57-63) is exact for uint8 PNG
+    sources, which id maps always are
+  * RGB normalized with the CLIP pixel stats (utils.py:66-67)
+
+Output is NHWC numpy; id maps stay uint8 — in-painting happens on device
+(prismer_tpu/data/device.py).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+LABEL_RESOLUTION = 224  # fixed (utils.py:43)
+
+ID_EXPERTS = ("seg_coco", "seg_ade", "obj_detection", "ocr_detection")
+DENSE_EXPERTS = ("depth", "normal", "edge")
+
+
+def random_resized_crop_params(w: int, h: int, scale: Tuple[float, float],
+                               ratio: Tuple[float, float] = (3 / 4, 4 / 3)
+                               ) -> Tuple[int, int, int, int]:
+    """torchvision RandomResizedCrop.get_params semantics: 10 attempts of
+    (uniform-area, log-uniform-ratio) crops, else center fallback.
+    Returns (top, left, crop_h, crop_w)."""
+    area = w * h
+    log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+    for _ in range(10):
+        target_area = area * random.uniform(*scale)
+        aspect = math.exp(random.uniform(*log_ratio))
+        cw = int(round(math.sqrt(target_area * aspect)))
+        ch = int(round(math.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            top = random.randint(0, h - ch)
+            left = random.randint(0, w - cw)
+            return top, left, ch, cw
+    # center-crop fallback
+    in_ratio = w / h
+    if in_ratio < ratio[0]:
+        cw = w
+        ch = int(round(cw / ratio[0]))
+    elif in_ratio > ratio[1]:
+        ch = h
+        cw = int(round(ch * ratio[1]))
+    else:
+        cw, ch = w, h
+    top = (h - ch) // 2
+    left = (w - cw) // 2
+    return top, left, ch, cw
+
+
+class Transform:
+    """Callable (PIL image, {expert: PIL label} | None) -> {name: ndarray}."""
+
+    def __init__(self, resize_resolution: int = 384,
+                 scale_size: Tuple[float, float] = (0.5, 1.0),
+                 train: bool = False):
+        from prismer_tpu.data.randaugment import RandAugment
+        self.res = resize_resolution
+        self.scale_size = tuple(scale_size)
+        self.train = train
+        self.randaugment = RandAugment(2, 5)
+
+    def __call__(self, image: Image.Image,
+                 labels: Optional[Dict[str, Image.Image]]
+                 ) -> Dict[str, np.ndarray]:
+        if self.train:
+            w, h = image.size
+            top, left, ch, cw = random_resized_crop_params(
+                w, h, self.scale_size)
+            box = (left, top, left + cw, top + ch)
+            image = image.crop(box)
+            if labels is not None:
+                labels = {e: l.crop(box) for e, l in labels.items()}
+
+        image = image.resize((self.res, self.res), Image.BICUBIC)
+        if labels is not None:
+            labels = {e: l.resize((LABEL_RESOLUTION, LABEL_RESOLUTION),
+                                  Image.NEAREST)
+                      for e, l in labels.items()}
+
+        if self.train:
+            if random.random() < 0.5:
+                image = image.transpose(Image.FLIP_LEFT_RIGHT)
+                if labels is not None:
+                    labels = {e: l.transpose(Image.FLIP_LEFT_RIGHT)
+                              for e, l in labels.items()}
+            image, labels = self.randaugment(image, labels)
+
+        rgb = np.asarray(image, np.float32) / 255.0
+        rgb = (rgb - CLIP_MEAN) / CLIP_STD
+        out: Dict[str, np.ndarray] = {"rgb": rgb}
+
+        if labels is not None:
+            for exp, lab in labels.items():
+                arr = np.asarray(lab)
+                if exp in DENSE_EXPERTS:
+                    a = arr.astype(np.float32) / 255.0
+                    if a.ndim == 2:
+                        a = a[:, :, None]
+                    out[exp] = a
+                else:  # id maps stay uint8
+                    out[exp] = arr.astype(np.uint8)
+        return out
+
+
+def remap_dense(x: np.ndarray, eps: float = 1e-6) -> np.ndarray:
+    """Per-sample min-max remap of dense maps to [-1, 1]
+    (dataset/utils.py:120-121)."""
+    lo, hi = x.min(), x.max()
+    return 2.0 * (x - lo) / (hi - lo + eps) - 1.0

@@ -1,0 +1,221 @@
+"""Data-pipeline tests: transform semantics, device in-painting vs the
+reference's CPU loop, loader behavior, and an end-to-end demo-style dataset
+walk over synthetic label files."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from prismer_tpu.data.device import materialize_experts
+from prismer_tpu.data.features import FeatureTables, get_feature_tables
+from prismer_tpu.data.labels import build_expert_record, load_expert_labels
+from prismer_tpu.data.loader import DataLoader, default_collate
+from prismer_tpu.data.text import pre_caption, pre_question
+from prismer_tpu.data.transform import CLIP_MEAN, CLIP_STD, Transform
+
+
+def test_feature_tables_shapes():
+    t = get_feature_tables()
+    assert t.coco.shape == (133, 64)
+    assert t.ade.shape == (150, 64)
+    assert t.detection.shape == (722, 64)
+    assert t.background.shape == (64,)
+    seg = t.seg_table("seg_coco")
+    assert seg.shape == (256, 64)
+    np.testing.assert_array_equal(seg[255], t.background)
+    np.testing.assert_array_equal(seg[0], t.coco[0])
+    # ids beyond the class count fall back to background
+    np.testing.assert_array_equal(seg[200], t.background)
+
+
+def test_detection_and_ocr_tables():
+    t = get_feature_tables()
+    det = t.detection_table({"0": 5, "3": 700})
+    np.testing.assert_array_equal(det[0], t.detection[5])
+    np.testing.assert_array_equal(det[3], t.detection[700])
+    np.testing.assert_array_equal(det[1], t.background)
+
+    ocr = t.ocr_table({0: {"features": np.ones(64, np.float32)}})
+    np.testing.assert_array_equal(ocr[0], np.ones(64))
+    np.testing.assert_array_equal(ocr[255], t.background)
+    ocr_none = t.ocr_table(None)
+    np.testing.assert_array_equal(ocr_none[7], t.background)
+
+
+def test_pca_project_formula():
+    t = get_feature_tables()
+    x = np.random.default_rng(0).standard_normal(768).astype(np.float32)
+    want = (x - t.pca_mean) @ t.pca_components.T
+    np.testing.assert_allclose(t.pca_project(x), want, rtol=1e-6)
+    assert t.pca_project(x).shape == (64,)
+
+
+def test_transform_eval_shapes_and_normalization():
+    img = Image.new("RGB", (500, 375), (124, 116, 104))
+    labels = {"depth": Image.new("L", (500, 375), 128),
+              "seg_coco": Image.new("L", (500, 375), 7)}
+    tf = Transform(resize_resolution=480, train=False)
+    out = tf(img, labels)
+    assert out["rgb"].shape == (480, 480, 3)
+    assert out["depth"].shape == (224, 224, 1)
+    assert out["seg_coco"].shape == (224, 224)
+    assert out["seg_coco"].dtype == np.uint8
+    assert out["seg_coco"][0, 0] == 7
+    want = (124 / 255 - CLIP_MEAN[0]) / CLIP_STD[0]
+    np.testing.assert_allclose(out["rgb"][0, 0, 0], want, atol=1e-5)
+
+
+def test_transform_train_id_values_preserved():
+    """Geometric augs must never interpolate id values — only {ids, fill}."""
+    rng = np.random.default_rng(0)
+    arr = rng.choice([3, 9, 12], size=(64, 64)).astype(np.uint8)
+    img = Image.new("RGB", (64, 64))
+    labels = {"seg_coco": Image.fromarray(arr, "L")}
+    tf = Transform(resize_resolution=64, train=True)
+    for _ in range(5):
+        out = tf(img, labels)
+        vals = set(np.unique(out["seg_coco"]).tolist())
+        assert vals <= {3, 9, 12, 255}
+
+
+def test_materialize_matches_reference_inpaint_loop():
+    """Device gather == the reference's per-unique-label CPU in-paint
+    (dataset/utils.py:123-130), on random ids."""
+    t = get_feature_tables()
+    rng = np.random.default_rng(1)
+    ids = rng.choice([0, 5, 40, 255], size=(2, 16, 16)).astype(np.uint8)
+    table = np.stack([t.seg_table("seg_coco")] * 2)
+    raw = {"rgb": rng.standard_normal((2, 8, 8, 3)).astype(np.float32),
+           "seg_coco": {"ids": jnp.asarray(ids), "table": jnp.asarray(table)}}
+    out = materialize_experts({k: (v if isinstance(v, dict)
+                                   else jnp.asarray(v))
+                               for k, v in raw.items()})
+    got = np.asarray(out["seg"])  # (2,16,16,64)
+
+    want = np.empty((2, 16, 16, 64), np.float32)
+    for b in range(2):
+        for l in np.unique(ids[b]):
+            src = t.background if l == 255 else t.coco[l]
+            want[b][ids[b] == l] = src
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert "seg" in out and "seg_coco" not in out
+
+
+def test_materialize_obj_detection_structure():
+    t = get_feature_tables()
+    rng = np.random.default_rng(2)
+    ids = rng.choice([1, 255], size=(2, 8, 8)).astype(np.uint8)
+    table = np.stack([t.detection_table({"1": 10})] * 2)
+    raw = {"obj_detection": {"ids": jnp.asarray(ids),
+                             "table": jnp.asarray(table),
+                             "instance": jnp.asarray(ids)}}
+    out = materialize_experts(raw)
+    assert out["obj_detection"]["label"].shape == (2, 8, 8, 64)
+    assert out["obj_detection"]["instance"].shape == (2, 8, 8, 1)
+
+
+def test_pre_caption_and_question():
+    assert pre_caption("a man: riding; a horse!!") == "A man riding a horse"
+    assert pre_question("what is THIS") == "What is this?"
+    assert pre_question("is it red?") == "Is it red?"
+    long = " ".join(["word"] * 60)
+    assert len(pre_caption(long, max_words=50).split(" ")) == 50
+
+
+class _ToyDataset:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"x": np.full((2, 2), i, np.float32), "caption": f"c{i}"}
+
+
+def test_loader_batching_shuffle_sharding():
+    ds = _ToyDataset(20)
+    loader = DataLoader(ds, batch_size=4, train=True, num_workers=2, seed=1)
+    batches = list(loader)
+    assert len(batches) == 5
+    assert batches[0]["x"].shape == (4, 2, 2)
+    assert isinstance(batches[0]["caption"], list)
+
+    # deterministic per-epoch shuffle given the seed
+    l2 = DataLoader(ds, batch_size=4, train=True, num_workers=2, seed=1)
+    b2 = list(l2)
+    np.testing.assert_array_equal(batches[0]["x"], b2[0]["x"])
+
+    # sharding partitions the index space disjointly
+    s0 = DataLoader(ds, batch_size=2, train=False, shard_id=0, num_shards=2)
+    s1 = DataLoader(ds, batch_size=2, train=False, shard_id=1, num_shards=2)
+    seen0 = {int(v) for b in s0 for v in b["x"][:, 0, 0]}
+    seen1 = {int(v) for b in s1 for v in b["x"][:, 0, 0]}
+    assert seen0 | seen1 == set(range(20))
+    assert not (seen0 & seen1)
+
+
+@pytest.fixture
+def demo_tree(tmp_path):
+    """Synthetic demo-style data tree: helpers/images/*.jpg + labels."""
+    img_dir = tmp_path / "helpers" / "images"
+    img_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(
+        rng.integers(0, 255, (60, 80, 3), dtype=np.uint8).astype(np.uint8))
+    img.save(img_dir / "demo1.jpg")
+
+    lbl_root = tmp_path / "helpers" / "labels"
+    for exp, mode, fill in [("depth", "L", 100), ("normal", "RGB", (1, 2, 3)),
+                            ("edge", "L", 30), ("seg_coco", "L", 5),
+                            ("obj_detection", "L", 0),
+                            ("ocr_detection", "L", 255)]:
+        d = lbl_root / exp / "helpers" / "images"
+        d.mkdir(parents=True)
+        Image.new(mode, (80, 60), fill).save(d / "demo1.png")
+    with open(lbl_root / "obj_detection" / "helpers" / "images" /
+              "demo1.json", "w") as f:
+        json.dump({"0": 17}, f)
+    # our npz OCR sidecar format (file handle: keep the .pt extension)
+    with open(lbl_root / "ocr_detection" / "helpers" / "images" /
+              "demo1.pt", "wb") as f:
+        np.savez(f, **{"0": np.ones(64, np.float32)})
+    return tmp_path
+
+
+def test_caption_demo_dataset_end_to_end(demo_tree):
+    from prismer_tpu.data.datasets import Caption
+    cfg = {"dataset": "demo",
+           "data_path": str(demo_tree / "helpers"),
+           "label_path": str(demo_tree / "helpers" / "labels"),
+           "experts": ["depth", "normal", "seg_coco", "edge",
+                       "obj_detection", "ocr_detection"],
+           "image_resolution": 64, "prefix": "A picture of"}
+    train_ds, test_ds = (Caption(cfg, train=True), Caption(cfg, train=False))
+    assert len(test_ds) == 1
+    rec = test_ds[0]
+    experts = rec["experts"]
+    assert experts["rgb"].shape == (64, 64, 3)
+    assert experts["depth"].shape == (224, 224, 1)
+    assert experts["depth"].min() >= -1.0 and experts["depth"].max() <= 1.0
+    assert experts["seg_coco"]["ids"].shape == (224, 224)
+    assert experts["seg_coco"]["table"].shape == (256, 64)
+    assert experts["obj_detection"]["instance"].shape == (224, 224)
+    t = get_feature_tables()
+    np.testing.assert_array_equal(
+        experts["obj_detection"]["table"][0], t.detection[17])
+    np.testing.assert_array_equal(
+        experts["ocr_detection"]["table"][0], np.ones(64))
+
+    # batch -> device materialization round trip
+    batch = default_collate([rec, rec])
+    dev = materialize_experts({
+        k: ({kk: jnp.asarray(vv) for kk, vv in v.items()}
+            if isinstance(v, dict) else jnp.asarray(v))
+        for k, v in batch["experts"].items()})
+    assert dev["seg"].shape == (2, 224, 224, 64)
+    assert dev["obj_detection"]["label"].shape == (2, 224, 224, 64)
