@@ -102,32 +102,49 @@ def bench_reference_pattern(model, cfg, variables, experts, prompt, mask,
     num_beams = 3
     b, p = prompt.shape
     enc_fn = jax.jit(lambda v, e: model.apply(v, e, method=Prismer.encode))
-    step_fns = {}
-    for t in range(p, max_length):
-        step_fns[t] = jax.jit(
-            lambda v, ids, m, enc: model.apply(
-                v, ids, m, enc, method=Prismer.decode_logits),
-            static_argnames=())
+    dec_fn = jax.jit(lambda v, ids, m, enc: model.apply(
+        v, ids, m, enc, method=Prismer.decode_logits))
 
-    def run_once():
-        enc = enc_fn(variables, experts)
-        enc_t = jnp.repeat(enc, num_beams, axis=0)
-        ids = jnp.repeat(jnp.asarray(prompt), num_beams, axis=0)
-        m = jnp.repeat(jnp.asarray(mask), num_beams, axis=0)
-        for t in range(p, max_length):
-            logits = step_fns[t](variables, ids, m, enc_t)
-            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
-            ids = jnp.concatenate([ids, nxt[:, None]], axis=1)
-            m = jnp.concatenate([m, jnp.ones_like(nxt[:, None])], axis=1)
-        return ids
-
-    run_once().block_until_ready()  # compile all lengths + warmup
-    times = []
+    enc = enc_fn(variables, experts)
+    enc.block_until_ready()
+    t0 = time.perf_counter()
     for _ in range(repeats):
+        enc_fn(variables, experts).block_until_ready()
+    t_enc = (time.perf_counter() - t0) / repeats
+
+    enc_t = jnp.repeat(enc, num_beams, axis=0)
+
+    def time_full_fwd(seq_len):
+        """One cache-less full-decoder forward at this sequence length,
+        beam-tiled (the per-step cost of the reference's generate)."""
+        rng = np.random.default_rng(1)
+        ids = jnp.asarray(rng.integers(
+            4, cfg.decoder.vocab_size,
+            (b * num_beams, seq_len)).astype(np.int32))
+        m = jnp.ones_like(ids)
+        dec_fn(variables, ids, m, enc_t).block_until_ready()  # compile
         t0 = time.perf_counter()
-        run_once().block_until_ready()
-        times.append(time.perf_counter() - t0)
-    return min(times)
+        for _ in range(repeats):
+            dec_fn(variables, ids, m, enc_t).block_until_ready()
+        return (time.perf_counter() - t0) / repeats
+
+    # sample 3 lengths, linearly interpolate the per-step cost over the
+    # decode trajectory t = p .. max_length-1 (sequence grows by 1 per step)
+    sample_lens = sorted({p + 1, (p + max_length) // 2, max_length})
+    costs = {L: time_full_fwd(L) for L in sample_lens}
+
+    def interp(L):
+        ls = sample_lens
+        if L <= ls[0]:
+            return costs[ls[0]]
+        for lo, hi in zip(ls, ls[1:]):
+            if L <= hi:
+                w = (L - lo) / (hi - lo)
+                return costs[lo] * (1 - w) + costs[hi] * w
+        return costs[ls[-1]]
+
+    total_decode = sum(interp(t + 1) for t in range(p, max_length))
+    return t_enc + total_decode
 
 
 def main():
