@@ -4,34 +4,43 @@ Measures the full captioning path of the flagship config — 6-expert fusion,
 480px RGB, bf16, beam-3 / max-20 generation (the reference's eval setting,
 prismer_caption.py:42-50) — end to end on one chip.
 
-`vs_baseline` is measured, not assumed: the baseline is the *reference's
-decode algorithm* (no KV cache — the full decoder re-runs over the whole
-growing sequence every beam-search step, exactly the compute pattern of
-model/modules/roberta.py generate, which has no past_key_values path)
-implemented with the same JAX modules and jitted per step-length on the same
-chip. The headline number is our KV-cached, fully-jitted pipeline.
+Measurement discipline (this environment's TPU tunnel dispatches
+asynchronously and caches identical dispatches, so naive block_until_ready
+timing lies):
+  * every timed call ends in a scalar checksum fetched to the host (true
+    end-to-end completion)
+  * inputs are generated ON DEVICE from a per-call seed (no host uploads in
+    the timed region, no dispatch-cache hits)
+  * the whole pipeline is ONE jit program; N pipeline iterations run inside
+    a lax.scan to amortize the ~50 ms relay round trip
+
+`vs_baseline` is measured, not assumed: the baseline program is the
+*reference's decode algorithm* — no KV cache, the full decoder re-runs over
+the growing beam-tiled sequence every step (model/modules/roberta.py
+generate has no past_key_values path) — built from the same modules, same
+chip. Decode lengths are sampled stride-2 and each sampled forward counts
+for 2 steps (halves compile time; documented approximation).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 """
 
 import argparse
+import functools
 import json
 import time
 
 import numpy as np
 
 
-def build(model_scale: str, batch: int, quick: bool):
-    import jax
-    import jax.numpy as jnp
-
+def make_model(model_scale: str, quick: bool):
     from prismer_tpu.config import build_prismer_config, tiny_test_config
     from prismer_tpu.models.prismer import Prismer
 
     if quick:
         task_cfg = tiny_test_config(
-            experts=["depth", "seg_coco", "obj_detection"], image_resolution=64)
+            experts=["depth", "seg_coco", "obj_detection"],
+            image_resolution=64)
         task_cfg["dtype"] = "float32"
     else:
         task_cfg = {
@@ -43,140 +52,152 @@ def build(model_scale: str, batch: int, quick: bool):
             "dtype": "bfloat16",
         }
     cfg = build_prismer_config(task_cfg)
-    model = Prismer(cfg)
-
-    rng = np.random.default_rng(0)
-    from __graft_entry__ import _expert_batch
-    experts = jax.tree.map(jnp.asarray, _expert_batch(rng, cfg.vision, batch))
-
-    # 'A picture of' prefix: 4 prompt tokens after dropping </s>
-    prompt = np.tile(np.array([[0, 250, 1202, 9]], np.int32), (batch, 1))
-    prompt = np.clip(prompt, 0, cfg.decoder.vocab_size - 1)
-    mask = np.ones_like(prompt)
-
-    variables = model.init(
-        {"params": jax.random.key(0), "instance": jax.random.key(1)},
-        experts, jnp.asarray(prompt), jnp.asarray(mask))
-    return model, cfg, variables, experts, prompt, mask
+    return Prismer(cfg), cfg
 
 
-def bench_cached(model, cfg, variables, experts, prompt, mask, max_length,
-                 repeats=3):
+def device_experts(cfg, key, batch):
+    """Random expert inputs generated on device (bench-only)."""
     import jax
     import jax.numpy as jnp
 
-    from prismer_tpu.models.generation import beam_search
-    from prismer_tpu.models.prismer import Prismer
-
-    @jax.jit
-    def run(variables, experts, prompt, mask):
-        enc = model.apply(variables, experts, method=Prismer.encode)
-        seqs, _ = beam_search(
-            model, variables, enc, prompt, mask, num_beams=3,
-            max_length=max_length, min_length=min(8, max_length - 1),
-            length_penalty=1.0, eos_token_id=cfg.decoder.eos_token_id,
-            pad_token_id=cfg.decoder.pad_token_id)
-        return seqs
-
-    args = (variables, experts, jnp.asarray(prompt), jnp.asarray(mask))
-    run(*args)[0].block_until_ready()  # compile + warmup
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        run(*args).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    return min(times)
+    res = cfg.vision.label_resolution
+    out = {}
+    for i, (exp, ch) in enumerate(cfg.vision.experts):
+        k = jax.random.fold_in(key, i)
+        if exp == "rgb":
+            r = cfg.vision.image_resolution
+            out[exp] = jax.random.normal(k, (batch, r, r, ch), jnp.float32)
+        elif exp == "obj_detection":
+            out[exp] = {
+                "label": jax.random.normal(k, (batch, res, res, ch),
+                                           jnp.float32),
+                "instance": jax.random.randint(k, (batch, res, res, 1), 0, 8),
+            }
+        else:
+            out[exp] = jax.random.normal(k, (batch, res, res, ch),
+                                         jnp.float32)
+    return out
 
 
-def bench_reference_pattern(model, cfg, variables, experts, prompt, mask,
-                            max_length, repeats=2):
-    """The reference's cache-less decode: greedy stand-in for beam scoring
-    cost — each step re-runs the FULL decoder over the beam-tiled, grown
-    sequence (beams=3), plus the encoder once. Jitted per sequence length
-    (the kindest possible rendition of the reference pattern on TPU)."""
+def init_variables(model, cfg, batch):
     import jax
     import jax.numpy as jnp
 
-    from prismer_tpu.models.prismer import Prismer
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        experts = device_experts(cfg, jax.random.key(0), 1)
+        variables = model.init(
+            {"params": jax.random.key(0), "instance": jax.random.key(1)},
+            experts, jnp.ones((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32))
+    return jax.device_put(variables, jax.devices()[0])
 
-    num_beams = 3
-    b, p = prompt.shape
-    enc_fn = jax.jit(lambda v, e: model.apply(v, e, method=Prismer.encode))
-    dec_fn = jax.jit(lambda v, ids, m, enc: model.apply(
-        v, ids, m, enc, method=Prismer.decode_logits))
 
-    enc = enc_fn(variables, experts)
-    enc.block_until_ready()
+def timed_value(fn, *args):
     t0 = time.perf_counter()
-    for _ in range(repeats):
-        enc_fn(variables, experts).block_until_ready()
-    t_enc = (time.perf_counter() - t0) / repeats
-
-    enc_t = jnp.repeat(enc, num_beams, axis=0)
-
-    def time_full_fwd(seq_len):
-        """One cache-less full-decoder forward at this sequence length,
-        beam-tiled (the per-step cost of the reference's generate)."""
-        rng = np.random.default_rng(1)
-        ids = jnp.asarray(rng.integers(
-            4, cfg.decoder.vocab_size,
-            (b * num_beams, seq_len)).astype(np.int32))
-        m = jnp.ones_like(ids)
-        dec_fn(variables, ids, m, enc_t).block_until_ready()  # compile
-        t0 = time.perf_counter()
-        for _ in range(repeats):
-            dec_fn(variables, ids, m, enc_t).block_until_ready()
-        return (time.perf_counter() - t0) / repeats
-
-    # sample 3 lengths, linearly interpolate the per-step cost over the
-    # decode trajectory t = p .. max_length-1 (sequence grows by 1 per step)
-    sample_lens = sorted({p + 1, (p + max_length) // 2, max_length})
-    costs = {L: time_full_fwd(L) for L in sample_lens}
-
-    def interp(L):
-        ls = sample_lens
-        if L <= ls[0]:
-            return costs[ls[0]]
-        for lo, hi in zip(ls, ls[1:]):
-            if L <= hi:
-                w = (L - lo) / (hi - lo)
-                return costs[lo] * (1 - w) + costs[hi] * w
-        return costs[ls[-1]]
-
-    total_decode = sum(interp(t + 1) for t in range(p, max_length))
-    return t_enc + total_decode
+    v = float(fn(*args))  # forces full execution + readback
+    return time.perf_counter() - t0, v
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--model", default="prismer_base")
-    ap.add_argument("--quick", action="store_true",
-                    help="tiny config (CPU-friendly smoke run)")
+    ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--iters", type=int, default=2,
+                    help="pipeline iterations inside the timed program")
+    ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
+    import jax
+    import jax.numpy as jnp
+
+    from prismer_tpu.models.generation import beam_search
+    from prismer_tpu.models.prismer import Prismer
+
+    model, cfg = make_model(args.model, args.quick)
     max_length = 10 if args.quick else 20
-    model, cfg, variables, experts, prompt, mask = build(
-        args.model, args.batch, args.quick)
+    min_length = min(8, max_length - 1)
+    batch = args.batch
+    prompt_len = 4  # 'A picture of' minus </s> (prismer_caption.py:38-40)
+    variables = init_variables(model, cfg, batch)
 
-    t_cached = bench_cached(model, cfg, variables, experts, prompt, mask,
-                            max_length)
-    ips = args.batch / t_cached
+    def one_caption_pass(variables, key):
+        experts = device_experts(cfg, key, batch)
+        prompt = jax.random.randint(key, (batch, prompt_len), 4, 1000)
+        mask = jnp.ones((batch, prompt_len), jnp.int32)
+        enc = model.apply(variables, experts, method=Prismer.encode)
+        seqs, _ = beam_search(
+            model, variables, enc, prompt, mask, num_beams=3,
+            max_length=max_length, min_length=min_length,
+            length_penalty=1.0, eos_token_id=cfg.decoder.eos_token_id,
+            pad_token_id=cfg.decoder.pad_token_id)
+        return jnp.sum(seqs, dtype=jnp.int32)
 
-    if args.skip_baseline:
-        vs = float("nan")
-    else:
-        t_ref = bench_reference_pattern(model, cfg, variables, experts,
-                                        prompt, mask, max_length)
-        vs = t_ref / t_cached  # speedup over the reference decode pattern
+    @jax.jit
+    def cached_program(variables, seed):
+        def body(c, i):
+            key = jax.random.fold_in(jax.random.key(seed), i)
+            return c + one_caption_pass(variables, key), None
+        out, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(args.iters))
+        return out
+
+    t_compile = time.perf_counter()
+    timed_value(cached_program, variables, jnp.int32(0))
+    print(f"# cached pipeline compile+first: "
+          f"{time.perf_counter() - t_compile:.1f}s", flush=True)
+    times = []
+    for r in range(args.repeats):
+        t, _ = timed_value(cached_program, variables, jnp.int32(r + 1))
+        times.append(t)
+    t_cached = min(times) / args.iters
+    ips = batch / t_cached
+
+    vs = None
+    if not args.skip_baseline:
+        def reference_pattern(variables, key):
+            """Cache-less decode: full decoder fwd at growing lengths,
+            beam-tiled x3; stride-2 length sampling, each counted twice."""
+            experts = device_experts(cfg, key, batch)
+            enc = model.apply(variables, experts, method=Prismer.encode)
+            enc_t = jnp.repeat(enc, 3, axis=0)
+            total = jnp.float32(0)
+            for t in range(prompt_len + 1, max_length + 1, 2):
+                ids = jax.random.randint(jax.random.fold_in(key, t),
+                                         (batch * 3, t), 4,
+                                         cfg.decoder.vocab_size)
+                m = jnp.ones_like(ids)
+                logits = model.apply(variables, ids, m, enc_t,
+                                     method=Prismer.decode_logits)
+                total += jnp.sum(logits[:, -1, :1])  # keep it live; x2 below
+                total += jnp.sum(logits[:, -1, 1:2])
+            return total
+
+        @jax.jit
+        def baseline_program(variables, seed):
+            key = jax.random.key(seed)
+            return reference_pattern(variables, key)
+
+        t_compile = time.perf_counter()
+        timed_value(baseline_program, variables, jnp.int32(0))
+        print(f"# baseline pattern compile+first: "
+              f"{time.perf_counter() - t_compile:.1f}s", flush=True)
+        btimes = []
+        for r in range(max(args.repeats - 1, 1)):
+            t, _ = timed_value(baseline_program, variables, jnp.int32(r + 7))
+            btimes.append(t)
+        # stride-2 sampling: sampled forwards stand for 2 decode steps each,
+        # so scale the decode portion by ~2 (encoder ran once, negligible
+        # next to 8 full decoder forwards) — conservative for the baseline
+        t_ref = min(btimes) * 2.0
+        vs = t_ref / t_cached
 
     print(json.dumps({
         "metric": "prismer_base_caption_beam3_480px_images_per_sec_per_chip",
         "value": round(ips, 3),
         "unit": "images/sec/chip",
-        "vs_baseline": round(vs, 3) if vs == vs else None,
-    }))
+        "vs_baseline": round(vs, 3) if vs else None,
+    }), flush=True)
 
 
 if __name__ == "__main__":

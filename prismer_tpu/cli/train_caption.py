@@ -1,0 +1,158 @@
+"""Caption fine-tune / eval driver (reference: train_caption.py).
+
+  python -m prismer_tpu.cli.train_caption --target_dataset coco \
+      --exp_name exp [--evaluate] [--pretrained path] [--full_shard]
+
+Differences from the reference runtime, by design:
+  * one jitted train step (GSPMD DP; optional ZeRO-2/3 via flags) instead of
+    accelerate/NCCL (train_caption.py:56-117)
+  * jitted KV-cached beam search for eval instead of cache-less HF generate
+  * best-CIDEr gating in-process (no cider.pt filesystem handshake,
+    train_caption.py:162-176)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prismer_tpu.cli import common
+from prismer_tpu.data import create_dataset, create_loader
+from prismer_tpu.evals.coco_eval import coco_caption_eval
+from prismer_tpu.models import caption as caption_head
+from prismer_tpu.train import build_train_step
+from prismer_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from prismer_tpu.train.schedules import per_step_cosine
+
+
+def prepare_train_batch(batch, tokenizer, prompt_len, pad_id):
+    enc = tokenizer(batch["caption"], padding="longest", truncation=True,
+                    max_length=30)
+    targets = np.where(enc.input_ids == pad_id, -100, enc.input_ids)
+    targets[:, :prompt_len] = -100
+    return {
+        "experts": common.experts_to_device(batch["experts"]),
+        "input_ids": jnp.asarray(enc.input_ids),
+        "attention_mask": jnp.asarray(enc.attention_mask),
+        "targets": jnp.asarray(targets),
+    }
+
+
+def evaluate(model, state, test_loader, tokenizer, config, args,
+             generate_fn=None):
+    prefix = config.get("prefix", "")
+    gen = generate_fn or caption_head.build_generate_fn(model)
+    results = []
+    variables = state.variables if hasattr(state, "variables") else state
+    for batch in test_loader:
+        b = len(batch["index"])
+        ids, mask = caption_head.prefix_prompt_ids(tokenizer, prefix, b)
+        seqs = gen(variables, common.experts_to_device(batch["experts"]),
+                   jnp.asarray(ids), jnp.asarray(mask))
+        captions = caption_head.decode_captions(np.asarray(seqs), tokenizer,
+                                                prefix)
+        for data_id, cap in zip(batch["index"], captions):
+            rec = test_loader.dataset.data_list[data_id]
+            if args.target_dataset == "coco":
+                image_id = int(rec["image"].split("/")[-1]
+                               .strip(".jpg").split("_")[-1])
+                results.append({"image_id": image_id,
+                                "caption": cap.capitalize() + "."})
+            elif args.target_dataset == "nocaps":
+                results.append({"image_id": rec["img_id"],
+                                "caption": cap.capitalize() + "."})
+            else:  # demo
+                results.append({"image": rec["image"], "caption": cap})
+    return results
+
+
+def main():
+    args = common.base_parser("caption").parse_args()
+    config, cfg, model, tokenizer = common.setup(args, "caption")
+
+    train_ds, test_ds = create_dataset("caption", config)
+    train_loader = create_loader(train_ds, config["batch_size_train"],
+                                 num_workers=8, train=True,
+                                 shard_id=jax.process_index(),
+                                 num_shards=jax.process_count())
+    test_loader = create_loader(test_ds, config["batch_size_test"],
+                                num_workers=8, train=False,
+                                shard_id=jax.process_index(),
+                                num_shards=jax.process_count())
+
+    steps_per_epoch = max(len(train_loader), 1)
+    schedule = per_step_cosine(config["init_lr"], config["min_lr"],
+                               steps_per_epoch, config["max_epoch"])
+    state, tx, labels, mesh = common.build_state(args, config, cfg, model,
+                                                 schedule)
+    ckpt_dir = os.path.join(args.logging_dir, f"caption_{args.exp_name}")
+    start_epoch = 0
+    best_cider = 0.0
+    if args.from_checkpoint and os.path.exists(ckpt_dir):
+        state, meta = restore_checkpoint(os.path.join(ckpt_dir, "state"),
+                                         state)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        best_cider = float(meta.get("best_cider", 0.0))
+        print(f"resuming from epoch {start_epoch}")
+
+    prompt_len = caption_head.prefix_length(tokenizer,
+                                            config.get("prefix", ""))
+    pad_id = cfg.decoder.pad_token_id
+    step_fn = build_train_step(model, tx, freeze_tree=labels)
+    gen_fn = caption_head.build_generate_fn(model)
+
+    t0 = time.time()
+    if not args.evaluate:
+        for epoch in range(start_epoch, config["max_epoch"]):
+            losses = []
+            for batch in train_loader:
+                dev_batch = prepare_train_batch(batch, tokenizer,
+                                                prompt_len, pad_id)
+                state, metrics = step_fn(state, dev_batch)
+                losses.append(metrics["loss"])
+            train_loss = float(np.mean([float(l) for l in losses])) \
+                if losses else 0.0
+
+            results = evaluate(model, state, test_loader, tokenizer, config,
+                               args, gen_fn)
+            all_results = common.gather_results(results)
+            cider = -1.0
+            if common.is_main_process() and args.target_dataset == "coco":
+                common.dump_results(
+                    all_results, args.results_dir,
+                    f"caption_results_{args.exp_name}_{args.target_dataset}.json")
+                scores = coco_caption_eval(
+                    os.path.join(config["data_path"],
+                                 "coco_karpathy_test_gt.json"), all_results)
+                cider = scores["CIDEr"]
+                print(f"Epoch {epoch:03d} | loss {train_loss:.4f} | "
+                      f"CIDEr {cider:.2f} | {time.time() - t0:.0f}s")
+            cider = common.broadcast_from_main(cider)
+            # best-CIDEr gating (train_caption.py:162-176); non-COCO saves
+            # every epoch
+            if args.target_dataset != "coco" or cider > best_cider:
+                best_cider = max(best_cider, cider)
+                save_checkpoint(os.path.join(ckpt_dir, "state"), state,
+                                {"epoch": epoch, "best_cider": best_cider})
+
+    results = evaluate(model, state, test_loader, tokenizer, config, args,
+                       gen_fn)
+    all_results = common.gather_results(results)
+    if common.is_main_process():
+        common.dump_results(
+            all_results, args.results_dir,
+            f"caption_results_{args.exp_name}_{args.target_dataset}.json")
+        if args.target_dataset == "coco":
+            scores = coco_caption_eval(
+                os.path.join(config["data_path"],
+                             "coco_karpathy_test_gt.json"), all_results)
+            print(json.dumps(scores))
+
+
+if __name__ == "__main__":
+    main()

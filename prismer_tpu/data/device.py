@@ -33,7 +33,9 @@ def materialize_experts(raw: Dict[str, Any], dtype=jnp.float32
     out: Dict[str, Any] = {}
     for exp, v in raw.items():
         name = canonical_expert(exp)
-        if isinstance(v, dict):
+        if isinstance(v, dict) and "ids" not in v:
+            out[name] = v  # already materialized (idempotent)
+        elif isinstance(v, dict):
             b = v["ids"].shape[0]
             idx = v["ids"].astype(jnp.int32).reshape(b, -1)          # (B, HW)
             feat = jnp.take_along_axis(

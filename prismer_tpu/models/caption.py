@@ -88,6 +88,48 @@ def caption_loss(model: Prismer, variables: Dict[str, Any],
     return (loss, updates) if train else loss
 
 
+def build_generate_fn(model: Prismer, *, num_beams: int = GEN_NUM_BEAMS,
+                      max_length: int = GEN_MAX_LENGTH,
+                      min_length: int = GEN_MIN_LENGTH,
+                      length_penalty: float = 1.0):
+    """One jitted encode+beam-search pipeline over raw (id-map) expert
+    batches — compiled once, reused every eval batch."""
+    import jax as _jax
+    from prismer_tpu.data.device import materialize_experts
+
+    @_jax.jit
+    def fn(variables, experts_raw, prompt_ids, prompt_mask):
+        experts = materialize_experts(experts_raw)
+        enc = model.apply(variables, experts, method=Prismer.encode)
+        seqs, scores = beam_search(
+            model, variables, enc, prompt_ids, prompt_mask,
+            num_beams=num_beams, max_length=max_length,
+            min_length=min_length, length_penalty=length_penalty,
+            eos_token_id=model.cfg.decoder.eos_token_id,
+            pad_token_id=model.cfg.decoder.pad_token_id)
+        return seqs
+
+    return fn
+
+
+def build_rank_fn(model: Prismer, *, k_test: int):
+    """Jitted encode + two-pass rank inference over raw expert batches."""
+    import jax as _jax
+    from prismer_tpu.data.device import materialize_experts
+
+    @_jax.jit
+    def fn(variables, experts_raw, prompt_ids, prompt_mask, answer_ids,
+           answer_mask):
+        experts = materialize_experts(experts_raw)
+        enc = model.apply(variables, experts, method=Prismer.encode)
+        return rank_answers(
+            model, variables, enc, prompt_ids, prompt_mask, answer_ids,
+            answer_mask, k_test=k_test,
+            pad_token_id=model.cfg.decoder.pad_token_id)
+
+    return fn
+
+
 def generate_captions(model: Prismer, variables: Dict[str, Any],
                       experts: Dict[str, Any], tokenizer: BPETokenizer,
                       prefix: str = "",

@@ -93,3 +93,14 @@ def shard_params(params: Any, mesh: Mesh, fsdp: bool = False,
     """Device-put params with the chosen sharding."""
     sh = param_shardings(params, mesh, fsdp=fsdp, min_size=min_size)
     return jax.tree.map(jax.device_put, params, sh)
+
+
+def shard_opt_state(opt_state: Any, mesh: Mesh,
+                    min_size: int = _FSDP_MIN_SIZE) -> Any:
+    """ZeRO-2 analog (--shard_grad_op, train_caption.py:56-66): optimizer
+    moments sharded along 'data' while params stay replicated. Leaf-wise:
+    any tensor large enough gets the FSDP spec."""
+    def put(path, x):
+        spec = _fsdp_spec(jax.tree_util.keystr(path), x, mesh, min_size)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map_with_path(put, opt_state)

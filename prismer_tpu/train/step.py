@@ -43,12 +43,15 @@ def build_train_step(model: Prismer, tx: optax.GradientTransformation,
     batch: {'experts': pytree, 'input_ids': (B,L), 'attention_mask': (B,L),
             'targets': (B,L) with -100 ignore, optional 'weights': (B,)}."""
 
+    from prismer_tpu.data.device import materialize_experts
+
     def loss_fn(params, batch_stats, batch, dropout_rng, instance_rng):
         p = _merge_frozen(params, freeze_tree)
         variables = {"params": p, "batch_stats": batch_stats}
         rngs = {"dropout": dropout_rng, "instance": instance_rng}
+        experts = materialize_experts(batch["experts"])
         logits, mutated = model.apply(
-            variables, batch["experts"], batch["input_ids"],
+            variables, experts, batch["input_ids"],
             batch["attention_mask"], train=True, rngs=rngs,
             mutable=["batch_stats"])
         per_sample = label_smoothed_loss(logits, batch["targets"])
@@ -75,8 +78,11 @@ def build_train_step(model: Prismer, tx: optax.GradientTransformation,
 def build_eval_loss_step(model: Prismer) -> Callable:
     """Jitted eval-mode loss (no dropout, BN running stats)."""
 
+    from prismer_tpu.data.device import materialize_experts
+
     def step(variables, batch):
-        logits = model.apply(variables, batch["experts"],
+        experts = materialize_experts(batch["experts"])
+        logits = model.apply(variables, experts,
                              batch["input_ids"], batch["attention_mask"],
                              train=False)
         per_sample = label_smoothed_loss(logits, batch["targets"])
