@@ -177,6 +177,46 @@ class Adaptor(nn.Module):
         return proj(ln(x)) + x
 
 
+_ATTENTION_IMPL: Optional[str] = None  # None = auto; 'flash' | 'xla'
+
+
+def set_attention_impl(impl: Optional[str]) -> None:
+    """Force 'flash' (Pallas) or 'xla' attention; None = auto (flash on TPU,
+    xla on CPU). Tests pin this to compare both paths."""
+    global _ATTENTION_IMPL
+    assert impl in (None, "flash", "xla")
+    _ATTENTION_IMPL = impl
+
+
+def use_flash_attention() -> bool:
+    import os
+    if _ATTENTION_IMPL is not None:
+        return _ATTENTION_IMPL == "flash"
+    env = os.environ.get("PRISMER_FLASH")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() != "cpu"
+
+
+def attention(q: jax.Array, k: jax.Array, v: jax.Array,
+              key_mask: Optional[jax.Array] = None,
+              causal: bool = False) -> jax.Array:
+    """Structured-mask attention: Pallas flash kernel on TPU, fp32-softmax
+    XLA fallback elsewhere. q,k,v: (B,H,L,D); key_mask: (B,Lk) 1=valid."""
+    if use_flash_attention():
+        from prismer_tpu.ops.flash_attention import flash_attention
+        return flash_attention(q, k, v, key_mask, causal)
+    bias = None
+    if key_mask is not None:
+        bias = padding_mask_bias(key_mask)
+    if causal:
+        lq, lk = q.shape[2], k.shape[2]
+        cmask = jnp.tril(jnp.ones((lq, lk), jnp.float32), k=lk - lq)
+        cbias = ((1.0 - cmask) * NEG_INF)[None, None]
+        bias = cbias if bias is None else bias + cbias
+    return dot_product_attention(q, k, v, bias)
+
+
 def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                           mask_bias: Optional[jax.Array] = None) -> jax.Array:
     """Scaled dot-product attention with fp32 softmax accumulation.
@@ -226,7 +266,10 @@ class MultiHeadAttention(nn.Module):
         k = nn.Dense(dim, dtype=self.dtype, name="k_proj")(kv)
         v = nn.Dense(dim, dtype=self.dtype, name="v_proj")(kv)
         q, k, v = (split_heads(t, self.num_heads) for t in (q, k, v))
-        out = dot_product_attention(q, k, v, mask_bias)
+        if mask_bias is None:
+            out = attention(q, k, v)  # flash path on TPU
+        else:
+            out = dot_product_attention(q, k, v, mask_bias)
         out = merge_heads(out)
         return nn.Dense(dim, dtype=self.dtype, name="out_proj")(out)
 

@@ -30,8 +30,8 @@ import jax.numpy as jnp
 
 from prismer_tpu.config import TextDecoderConfig
 from prismer_tpu.models.layers import (NEG_INF, Adaptor, LayerNorm,
-                                       dot_product_attention, gelu_exact,
-                                       merge_heads, split_heads)
+                                       attention, dot_product_attention,
+                                       gelu_exact, merge_heads, split_heads)
 
 Dtype = Any
 
@@ -81,10 +81,12 @@ class SelfAttentionCore(nn.Module):
         return k, v
 
     def __call__(self, hidden: jax.Array, kv_source: jax.Array,
-                 mask_bias: Optional[jax.Array]) -> jax.Array:
+                 key_mask: Optional[jax.Array] = None,
+                 causal: bool = False) -> jax.Array:
+        """Full-sequence attention with structured masks (flash-eligible)."""
         q = self.project_q(hidden)
         k, v = self.project_kv(kv_source)
-        return merge_heads(dot_product_attention(q, k, v, mask_bias))
+        return merge_heads(attention(q, k, v, key_mask, causal))
 
     def attend(self, hidden: jax.Array, k: jax.Array, v: jax.Array,
                mask_bias: Optional[jax.Array]) -> jax.Array:
@@ -146,25 +148,26 @@ class DecoderLayer(nn.Module):
             self.adaptor = Adaptor(norm_late=True, dtype=self.dtype)
         self.mlp = FeedForward(self.cfg, dtype=self.dtype)
 
-    def __call__(self, hidden: jax.Array, mask_bias: jax.Array,
+    def __call__(self, hidden: jax.Array, attention_mask: jax.Array,
                  encoder_hidden_states: Optional[jax.Array],
                  train: bool = False) -> jax.Array:
-        h = self.self_attn(hidden, hidden, mask_bias)
+        h = self.self_attn(hidden, hidden, attention_mask, causal=True)
         hidden = self.self_out(h, hidden, train=train)
         if self.with_cross:
-            h = self.cross_attn(hidden, encoder_hidden_states, None)
+            h = self.cross_attn(hidden, encoder_hidden_states)
             hidden = self.cross_out(h, hidden, train=train)
             hidden = self.adaptor(hidden)
         return self.mlp(hidden, train=train)
 
     # ---- cached decode paths -------------------------------------------
-    def prefill(self, hidden: jax.Array, mask_bias: jax.Array,
+    def prefill(self, hidden: jax.Array, attention_mask: jax.Array,
                 cross_k: Optional[jax.Array], cross_v: Optional[jax.Array],
                 max_len: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Full pass over the prompt; returns (hidden, k_cache, v_cache) with
         the prompt K/V written at positions [0, L) of a (B,H,max_len,Dh) buffer."""
+        q = self.self_attn.project_q(hidden)
         k, v = self.self_attn.project_kv(hidden)
-        h = self.self_attn.attend(hidden, k, v, mask_bias)
+        h = merge_heads(attention(q, k, v, attention_mask, causal=True))
         hidden = self.self_out(h, hidden)
         if self.with_cross:
             h = self.cross_attn.attend(hidden, cross_k, cross_v, None)
@@ -273,11 +276,10 @@ class RobertaCausalDecoder(nn.Module):
         c = self.cfg
         position_ids = create_position_ids(input_ids, attention_mask, c.pad_token_id)
         hidden = self.embeddings(input_ids, position_ids, train=train)
-        mask_bias = decoder_mask_bias(attention_mask)
         enc = encoder_hidden_states.astype(self.dtype)
         for layer in self.layers:
-            hidden = layer(hidden, mask_bias, enc, train=train)
-        hidden = self.output_layer(hidden, mask_bias, None, train=train)
+            hidden = layer(hidden, attention_mask, enc, train=train)
+        hidden = self.output_layer(hidden, attention_mask, None, train=train)
         return self.lm_head(hidden, self.embeddings.word_embeddings)
 
     # -- cached decode ------------------------------------------------------
@@ -290,7 +292,6 @@ class RobertaCausalDecoder(nn.Module):
         c = self.cfg
         position_ids = create_position_ids(input_ids, attention_mask, c.pad_token_id)
         hidden = self.embeddings(input_ids, position_ids)
-        mask_bias = decoder_mask_bias(attention_mask)
         enc = encoder_hidden_states.astype(self.dtype)
 
         ks, vs, cks, cvs = [], [], [], []
@@ -298,10 +299,10 @@ class RobertaCausalDecoder(nn.Module):
             ck, cv = layer.project_cross_kv(enc)
             cks.append(ck)
             cvs.append(cv)
-            hidden, k, v = layer.prefill(hidden, mask_bias, ck, cv, max_len)
+            hidden, k, v = layer.prefill(hidden, attention_mask, ck, cv, max_len)
             ks.append(k)
             vs.append(v)
-        hidden, k, v = self.output_layer.prefill(hidden, mask_bias, None, None, max_len)
+        hidden, k, v = self.output_layer.prefill(hidden, attention_mask, None, None, max_len)
         ks.append(k)
         vs.append(v)
 

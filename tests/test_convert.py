@@ -55,8 +55,10 @@ def test_decoder_layer_matches_hf_roberta_layer(rng):
 
     params = cv._decoder_layer_common(sd, "L")
     ours = DecoderLayer(cfg, with_cross=False)
+    # ours takes the (B, L) mask and applies causal+padding internally —
+    # identical semantics to the HF extended bias computed above
     got = ours.apply({"params": jax.tree.map(jnp.asarray, params)},
-                     jnp.asarray(x), jnp.asarray(bias), None)
+                     jnp.asarray(x), jnp.asarray(mask), None)
     np.testing.assert_allclose(np.asarray(got), want, atol=3e-5)
 
 
