@@ -83,8 +83,9 @@ def init_variables(model, cfg, batch):
     import jax
     import jax.numpy as jnp
 
+    from prismer_tpu.models.layers import xla_attention
     cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
+    with jax.default_device(cpu), xla_attention():
         experts = device_experts(cfg, jax.random.key(0), 1)
         variables = model.init(
             {"params": jax.random.key(0), "instance": jax.random.key(1)},
@@ -111,6 +112,11 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache (helps when the backend supports it)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/prismer_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from prismer_tpu.models.generation import beam_search
     from prismer_tpu.models.prismer import Prismer

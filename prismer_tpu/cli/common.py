@@ -83,8 +83,9 @@ def make_dummy_inputs(cfg: PrismerConfig, batch: int = 1):
 
 
 def init_model_variables(model: Prismer, cfg: PrismerConfig, seed: int = 0):
+    from prismer_tpu.models.layers import xla_attention
     cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
+    with jax.default_device(cpu), xla_attention():
         experts = make_dummy_inputs(cfg)
         ids = jnp.ones((1, 4), jnp.int32)
         mask = jnp.ones((1, 4), jnp.int32)

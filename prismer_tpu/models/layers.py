@@ -188,6 +188,20 @@ def set_attention_impl(impl: Optional[str]) -> None:
     _ATTENTION_IMPL = impl
 
 
+class xla_attention:
+    """Context manager pinning the XLA attention path (e.g. during CPU-device
+    param init, where the Pallas kernel can't compile)."""
+
+    def __enter__(self):
+        global _ATTENTION_IMPL
+        self._prev = _ATTENTION_IMPL
+        _ATTENTION_IMPL = "xla"
+
+    def __exit__(self, *exc):
+        global _ATTENTION_IMPL
+        _ATTENTION_IMPL = self._prev
+
+
 def use_flash_attention() -> bool:
     import os
     if _ATTENTION_IMPL is not None:
