@@ -68,7 +68,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
     q_start = qi * bq
 
     def body(kb, carry):
-        acc, m, l = carry
+        acc, m, l = carry  # acc (BQ, D); m/l (BQ, 1) — 2D for TPU layout
         ks = kb * block_k
         kblk = k_ref[0, pl.ds(ks, block_k), :].astype(jnp.float32)
         vblk = v_ref[0, pl.ds(ks, block_k), :].astype(jnp.float32)
@@ -76,8 +76,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
             q, kblk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale   # (BQ, BK)
 
-        kmask = mask_ref[0, pl.ds(ks, block_k)] > 0       # (BK,)
-        s = jnp.where(kmask[None, :], s, NEG_INF)
+        kmask = mask_ref[0, :, pl.ds(ks, block_k)] > 0    # (1, BK)
+        s = jnp.where(kmask, s, NEG_INF)
         if causal:
             rows = q_start + jax.lax.broadcasted_iota(
                 jnp.int32, (bq, block_k), 0)
@@ -85,18 +85,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
                 jnp.int32, (bq, block_k), 1)
             s = jnp.where(cols <= rows, s, NEG_INF)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=1))
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new[:, None])
-        l_new = l * alpha + jnp.sum(p, axis=1)
-        acc_new = acc * alpha[:, None] + jax.lax.dot_general(
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
             p, vblk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return acc_new, m_new, l_new
 
     acc0 = jnp.zeros((bq, q.shape[1]), jnp.float32)
-    m0 = jnp.full((bq,), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq,), jnp.float32)
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
 
     if causal:
         # only k-blocks up to the diagonal contribute
@@ -105,7 +105,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
     else:
         acc, m, l = jax.lax.fori_loop(0, n_kb, body, (acc0, m0, l0))
 
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(o_ref.dtype)
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 def _flash_forward(q, k, v, key_mask, causal,
@@ -136,7 +136,9 @@ def _flash_forward(q, k, v, key_mask, causal,
     qf = q.reshape(b * h, lq_p, d)
     kf = k.reshape(b * h, lk_p, d)
     vf = v.reshape(b * h, lk_p, d)
-    maskf = jnp.repeat(key_mask, h, axis=0)  # (B*H, LK)
+    # (B*H, 1, LK): TPU block shapes constrain the last two dims, so give the
+    # mask a unit row dim that the block can match exactly
+    maskf = jnp.repeat(key_mask, h, axis=0)[:, None, :]
 
     grid = (b * h, lq_p // block_q)
     kernel = functools.partial(
@@ -153,7 +155,7 @@ def _flash_forward(q, k, v, key_mask, causal,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lk_p, d), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_p), lambda bh, qi: (bh, 0),
+            pl.BlockSpec((1, 1, lk_p), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
