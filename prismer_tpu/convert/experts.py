@@ -63,6 +63,86 @@ def _up_block(sd, p, up_scale):
     return params
 
 
+def group_norm(sd, prefix):
+    return {"scale": _np(sd[f"{prefix}.weight"]),
+            "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _rcu(sd, p):
+    return {"conv1": conv(sd, f"{p}.conv1"), "conv2": conv(sd, f"{p}.conv2")}
+
+
+def convert_dpt(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """MiDaS DPT-hybrid checkpoint (dpt_hybrid-midas-501f0c75.pt) -> params
+    for experts.depth.DPTDepthModel. Key namespace: pretrained.model.* (timm
+    vit_base_resnet50_384) + pretrained.act_postprocess{3,4} + scratch.*."""
+    P: Dict[str, Any] = {}
+    pm = "pretrained.model"
+
+    # hybrid ResNetV2 backbone
+    bb: Dict[str, Any] = {
+        "stem_conv": conv(sd, f"{pm}.patch_embed.backbone.stem.conv"),
+        "stem_norm": {"GroupNorm_0": group_norm(
+            sd, f"{pm}.patch_embed.backbone.stem.norm")},
+    }
+    for s, n_blocks in enumerate((3, 4, 9)):
+        stage: Dict[str, Any] = {}
+        for b in range(n_blocks):
+            q = f"{pm}.patch_embed.backbone.stages.{s}.blocks.{b}"
+            blk = {
+                "norm1": {"GroupNorm_0": group_norm(sd, f"{q}.norm1")},
+                "norm2": {"GroupNorm_0": group_norm(sd, f"{q}.norm2")},
+                "norm3": {"GroupNorm_0": group_norm(sd, f"{q}.norm3")},
+                "conv1": conv(sd, f"{q}.conv1"),
+                "conv2": conv(sd, f"{q}.conv2"),
+                "conv3": conv(sd, f"{q}.conv3"),
+            }
+            if f"{q}.downsample.conv.weight" in sd:
+                blk["downsample_conv"] = conv(sd, f"{q}.downsample.conv")
+            stage[f"block_{b}"] = blk
+        bb[f"stage_{s}"] = stage
+    P["backbone"] = bb
+
+    P["patch_proj"] = conv(sd, f"{pm}.patch_embed.proj")
+    P["cls_token"] = _np(sd[f"{pm}.cls_token"])
+    P["pos_embed"] = _np(sd[f"{pm}.pos_embed"])[0]
+
+    for i in range(12):
+        q = f"{pm}.blocks.{i}"
+        P[f"vit_block_{i}"] = {
+            "norm1": {"scale": _np(sd[f"{q}.norm1.weight"]),
+                      "bias": _np(sd[f"{q}.norm1.bias"])},
+            "norm2": {"scale": _np(sd[f"{q}.norm2.weight"]),
+                      "bias": _np(sd[f"{q}.norm2.bias"])},
+            "qkv": linear(sd, f"{q}.attn.qkv"),
+            "proj": linear(sd, f"{q}.attn.proj"),
+            "fc1": linear(sd, f"{q}.mlp.fc1"),
+            "fc2": linear(sd, f"{q}.mlp.fc2"),
+        }
+
+    # reassemble heads (project readout + conv)
+    P["post3_readout"] = linear(sd, "pretrained.act_postprocess3.0.project.0")
+    P["post3_proj"] = conv(sd, "pretrained.act_postprocess3.3")
+    P["post4_readout"] = linear(sd, "pretrained.act_postprocess4.0.project.0")
+    P["post4_proj"] = conv(sd, "pretrained.act_postprocess4.3")
+    P["post4_down"] = conv(sd, "pretrained.act_postprocess4.4")
+
+    for i in range(1, 5):
+        P[f"layer{i}_rn"] = conv(sd, f"scratch.layer{i}_rn")
+    for i in range(1, 5):
+        q = f"scratch.refinenet{i}"
+        blk = {"rcu2": _rcu(sd, f"{q}.resConfUnit2"),
+               "out_conv": conv(sd, f"{q}.out_conv")}
+        if i != 4:  # refinenet4 takes no skip; its rcu1 weights are unused
+            blk["rcu1"] = _rcu(sd, f"{q}.resConfUnit1")
+        P[f"refinenet{i}"] = blk
+
+    P["head_conv1"] = conv(sd, "scratch.output_conv.0")
+    P["head_conv2"] = conv(sd, "scratch.output_conv.2")
+    P["head_conv3"] = conv(sd, "scratch.output_conv.4")
+    return {"params": P}
+
+
 def convert_dexined(sd: Dict[str, Any]) -> Dict[str, Any]:
     """DexiNed checkpoint -> {'params', 'batch_stats'} for experts.edge."""
     params: Dict[str, Any] = {}
