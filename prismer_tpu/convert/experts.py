@@ -63,6 +63,78 @@ def _up_block(sd, p, up_scale):
     return params
 
 
+def _conv1d_as_dense(sd, prefix):
+    """torch Conv1d(k=1) weight (out, in, 1) -> Dense kernel (in, out)."""
+    out = {"kernel": _np(sd[f"{prefix}.weight"])[:, :, 0].T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def convert_nnet(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """NNET scannet.pt checkpoint -> params for experts.normal.NNET.
+
+    gen-efficientnet encoder naming (encoder.original_model.*) + decoder
+    naming (decoder.conv2, decoder.up{1-4}._net.{0,1,3,4},
+    decoder.out_conv_res8, decoder.out_conv_res{4,2,1}.{0,2,4,6})."""
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    enc = "encoder.original_model"
+    P: Dict[str, Any] = {}
+    S: Dict[str, Any] = {}
+
+    E: Dict[str, Any] = {"conv_stem": conv(sd, f"{enc}.conv_stem")}
+    ES: Dict[str, Any] = {}
+    E["bn1"], ES["bn1"] = batch_norm(sd, f"{enc}.bn1")
+
+    from prismer_tpu.experts.normal.model import B5_STAGES
+    for s, (reps, k, stride, e, out_ch) in enumerate(B5_STAGES):
+        for r in range(reps):
+            q = f"{enc}.blocks.{s}.{r}"
+            name = f"blocks_{s}_{r}"
+            blk: Dict[str, Any] = {}
+            st: Dict[str, Any] = {}
+            blk["conv_dw"] = {"conv": conv(sd, f"{q}.conv_dw")}
+            blk["se"] = {"conv_reduce": conv(sd, f"{q}.se.conv_reduce"),
+                         "conv_expand": conv(sd, f"{q}.se.conv_expand")}
+            if e == 1:
+                blk["conv_pw"] = conv(sd, f"{q}.conv_pw")
+                blk["bn1"], st["bn1"] = batch_norm(sd, f"{q}.bn1")
+                blk["bn2"], st["bn2"] = batch_norm(sd, f"{q}.bn2")
+            else:
+                blk["conv_pw"] = conv(sd, f"{q}.conv_pw")
+                blk["conv_pwl"] = conv(sd, f"{q}.conv_pwl")
+                blk["bn1"], st["bn1"] = batch_norm(sd, f"{q}.bn1")
+                blk["bn2"], st["bn2"] = batch_norm(sd, f"{q}.bn2")
+                blk["bn3"], st["bn3"] = batch_norm(sd, f"{q}.bn3")
+            E[name] = blk
+            ES[name] = st
+    E["conv_head"] = conv(sd, f"{enc}.conv_head")
+    P["encoder"] = E
+    S["encoder"] = ES
+
+    P["conv2"] = conv(sd, "decoder.conv2")
+    for i in range(1, 5):
+        q = f"decoder.up{i}._net"
+        up: Dict[str, Any] = {"conv1": conv(sd, f"{q}.0"),
+                              "conv2": conv(sd, f"{q}.3")}
+        st = {}
+        up["bn1"], st["bn1"] = batch_norm(sd, f"{q}.1")
+        up["bn2"], st["bn2"] = batch_norm(sd, f"{q}.4")
+        P[f"up{i}"] = up
+        S[f"up{i}"] = st
+    P["out_conv_res8"] = conv(sd, "decoder.out_conv_res8")
+    for res in (4, 2, 1):
+        q = f"decoder.out_conv_res{res}"
+        P[f"out_conv_res{res}"] = {
+            "fc0": _conv1d_as_dense(sd, f"{q}.0"),
+            "fc1": _conv1d_as_dense(sd, f"{q}.2"),
+            "fc2": _conv1d_as_dense(sd, f"{q}.4"),
+            "fc3": _conv1d_as_dense(sd, f"{q}.6"),
+        }
+    return {"params": P, "batch_stats": S}
+
+
 def group_norm(sd, prefix):
     return {"scale": _np(sd[f"{prefix}.weight"]),
             "bias": _np(sd[f"{prefix}.bias"])}
