@@ -82,14 +82,14 @@ def beam_search(model: Prismer, variables: Dict[str, Any],
     t = max_length
     assert p < t, "prompt longer than max_length"
 
-    # tile prompt and encoder states to B*K rows
+    # tile the prompt to B*K rows; encoder states stay untiled — cross-attn
+    # K/V are projected once per sample inside init_cache (beams=k)
     tile = lambda x: jnp.repeat(x, k, axis=0)
-    enc_tiled = tile(encoder_hidden_states)
     ids_tiled = tile(prompt_ids)
     mask_tiled = tile(prompt_mask)
 
     last_logits, cache = model.apply(
-        variables, ids_tiled, mask_tiled, enc_tiled, t,
+        variables, ids_tiled, mask_tiled, encoder_hidden_states, t, k,
         method=Prismer.init_cache)
     vocab = last_logits.shape[-1]
 
@@ -179,11 +179,15 @@ def beam_search(model: Prismer, variables: Dict[str, Any],
         new_tokens = jnp.where(keep, pad_token_id, new_tokens)
 
         # --- reorder cache and take one decode step ------------------------
+        # only the self-attention K/V move with beams; cross K/V rows are
+        # identical within a sample's beam group (reordering them would be a
+        # multi-hundred-MB no-op every step)
         flat_beam = (new_alive_beam
                      + jnp.arange(b)[:, None] * k).reshape(-1)  # (B*K,)
-        cache = jax.tree.map(
-            lambda x: jnp.take(x, flat_beam, axis=1) if x.ndim >= 2 else x,
-            st.cache)
+        cache = dict(
+            st.cache,
+            self_k=jnp.take(st.cache["self_k"], flat_beam, axis=1),
+            self_v=jnp.take(st.cache["self_v"], flat_beam, axis=1))
 
         pos_ids = (st.prompt_nonpad[:, None] + (st.index - p) + 1
                    + pad_token_id)  # (B, 1) broadcast over beams

@@ -56,10 +56,11 @@ class Prismer(nn.Module):
 
     # cached generation entry points (used under jit by generation.py)
     def init_cache(self, input_ids: jax.Array, attention_mask: jax.Array,
-                   encoder_hidden_states: jax.Array,
-                   max_len: int) -> Tuple[jax.Array, Cache]:
+                   encoder_hidden_states: jax.Array, max_len: int,
+                   beams: int = 1) -> Tuple[jax.Array, Cache]:
         return self.text_decoder.init_cache(
-            input_ids, attention_mask, encoder_hidden_states, max_len)
+            input_ids, attention_mask, encoder_hidden_states, max_len,
+            beams=beams)
 
     def decode_step(self, token_ids: jax.Array, index: jax.Array,
                     position_ids: jax.Array, key_mask: jax.Array,

@@ -243,8 +243,11 @@ class LMHead(nn.Module):
 
     def __call__(self, hidden: jax.Array, word_embeddings: jax.Array) -> jax.Array:
         h = self.ln(gelu_exact(self.dense(hidden)))
-        logits = jnp.einsum("bld,vd->blv", h.astype(jnp.float32),
-                            word_embeddings.astype(jnp.float32))
+        # compute-dtype inputs, fp32 MXU accumulation (the reference runs
+        # this projection under fp16 AMP, train_caption.py:39)
+        logits = jnp.einsum("bld,vd->blv", h.astype(self.dtype),
+                            word_embeddings.astype(self.dtype),
+                            preferred_element_type=jnp.float32)
         return logits + self.bias[None, None, :]
 
 
@@ -284,11 +287,16 @@ class RobertaCausalDecoder(nn.Module):
 
     # -- cached decode ------------------------------------------------------
     def init_cache(self, input_ids: jax.Array, attention_mask: jax.Array,
-                   encoder_hidden_states: jax.Array, max_len: int
-                   ) -> Tuple[jax.Array, Cache]:
+                   encoder_hidden_states: jax.Array, max_len: int,
+                   beams: int = 1) -> Tuple[jax.Array, Cache]:
         """Prefill the (right-padded) prompt. Returns (last-position logits,
         cache). The next-token distribution is logits at column L-1, matching
-        HF generate on right-padded prompts."""
+        HF generate on right-padded prompts.
+
+        For beam search, pass the UNTILED encoder states (B, L, D) with
+        beams=K while input_ids/attention_mask are beam-tiled (B*K rows):
+        cross-attention K/V are projected once per sample and repeated —
+        they are identical across beams and never reordered."""
         c = self.cfg
         position_ids = create_position_ids(input_ids, attention_mask, c.pad_token_id)
         hidden = self.embeddings(input_ids, position_ids)
@@ -297,6 +305,9 @@ class RobertaCausalDecoder(nn.Module):
         ks, vs, cks, cvs = [], [], [], []
         for layer in self.layers:
             ck, cv = layer.project_cross_kv(enc)
+            if beams > 1:
+                ck = jnp.repeat(ck, beams, axis=0)
+                cv = jnp.repeat(cv, beams, axis=0)
             cks.append(ck)
             cvs.append(cv)
             hidden, k, v = layer.prefill(hidden, attention_mask, ck, cv, max_len)
