@@ -1,0 +1,125 @@
+"""Expert model bank — the shared `load_expert_model(task)` factory
+(reference: experts/model_bank.py:11-135).
+
+Returns (apply_fn, variables, preprocess) where apply_fn is a jitted
+NHWC-batch function, variables the flax tree (converted from the published
+checkpoint when available, fresh init otherwise), and preprocess a host-side
+callable PIL.Image -> np.ndarray replicating the reference's torchvision
+transform for that expert.
+
+Checkpoints are searched under PRISMER_EXPERT_WEIGHTS (default
+'experts/expert_weights'), same filenames as the reference's
+download_checkpoints.py layout.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+WEIGHTS = {
+    "depth": "dpt_hybrid-midas-501f0c75.pt",
+    "normal": "scannet.pt",
+    "edge": "10_model.pth",
+    "ocr_detection": "icdar2015_hourglass88.pth",
+    "seg_coco": "model_final_f07440.pkl",
+    "seg_ade": "model_final_e0c58e.pkl",
+    "obj_detection": "Unified_learned_OCIM_RS200_6x+2x.pth",
+}
+
+
+def _weights_dir() -> str:
+    return os.environ.get("PRISMER_EXPERT_WEIGHTS", "experts/expert_weights")
+
+
+def _load_torch_ckpt(task: str):
+    path = os.path.join(_weights_dir(), WEIGHTS[task])
+    if not os.path.exists(path):
+        return None
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return sd
+
+
+def _resize_norm(size: int, mean, std) -> Callable[[Image.Image], np.ndarray]:
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+
+    def fn(img: Image.Image) -> np.ndarray:
+        img = img.convert("RGB").resize((size, size), Image.BILINEAR)
+        arr = np.asarray(img, np.float32) / 255.0
+        return (arr - mean) / std
+
+    return fn
+
+
+def load_expert_model(task: str, image_size: int = 480
+                      ) -> Tuple[Callable, Dict[str, Any], Callable]:
+    if task == "depth":
+        from prismer_tpu.convert.experts import convert_dpt
+        from prismer_tpu.experts.depth.model import DPTDepthModel
+        model = DPTDepthModel()
+        variables = _init_or_convert(model, convert_dpt, task,
+                                     (1, image_size, image_size, 3))
+        apply_fn = jax.jit(lambda v, x: model.apply(v, x))
+        # transforms.Normalize(mean=0.5, std=0.5) (model_bank.py:21-24)
+        return apply_fn, variables, _resize_norm(image_size, 0.5, 0.5)
+
+    if task == "normal":
+        from prismer_tpu.convert.experts import convert_nnet
+        from prismer_tpu.experts.normal.model import NNET
+        model = NNET()
+        variables = _init_or_convert(model, convert_nnet, task,
+                                     (1, image_size, image_size, 3))
+        apply_fn = jax.jit(lambda v, x: model.apply(v, x))
+        return apply_fn, variables, _resize_norm(image_size, IMAGENET_MEAN,
+                                                 IMAGENET_STD)
+
+    if task == "edge":
+        from prismer_tpu.convert.experts import convert_dexined
+        from prismer_tpu.experts.edge.model import DexiNed
+        model = DexiNed()
+        variables = _init_or_convert(model, convert_dexined, task,
+                                     (1, image_size, image_size, 3))
+        apply_fn = jax.jit(lambda v, x: model.apply(v, x))
+        # std=1.0 (model_bank.py:125-128)
+        return apply_fn, variables, _resize_norm(image_size, IMAGENET_MEAN,
+                                                 (1.0, 1.0, 1.0))
+
+    if task in ("seg_coco", "seg_ade", "obj_detection", "ocr_detection"):
+        raise NotImplementedError(
+            f"expert '{task}' model port is in progress; its data-pipeline "
+            "consumers (label IO, tables, in-painting) are complete")
+
+    raise ValueError(f"unknown expert task: {task}")
+
+
+def _init_or_convert(model, converter, task: str, input_shape) -> Dict[str, Any]:
+    sd = _load_torch_ckpt(task)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = model.init(jax.random.key(0),
+                               jnp.zeros(input_shape, jnp.float32))
+    if sd is None:
+        return variables
+    from prismer_tpu.convert.torch_to_jax import merge_params
+    tree = converter(sd)
+    out = {"params": merge_params(variables["params"], tree["params"])}
+    if "batch_stats" in variables:
+        stats = variables["batch_stats"]
+        if tree.get("batch_stats"):
+            stats = merge_params(stats, tree["batch_stats"])
+        out["batch_stats"] = stats
+    return out
