@@ -128,6 +128,138 @@ def _run_dense(args, task, apply_fn, variables, preprocess, postprocess):
         print(f"[{task}] {min(i + bs, len(files))}/{len(files)}", flush=True)
 
 
+def run_segmentation(args, task):
+    import jax.numpy as jnp
+
+    apply_fn, variables, preprocess = load_expert_model(task)
+    save_root = os.path.join(args.save_path, task)
+    files = list_images(args.data_path)[args.shard_id::args.num_shards]
+    bs = args.batch_size
+    for i in range(0, len(files), bs):
+        chunk = files[i:i + bs]
+        sizes, batch = [], []
+        for p in chunk:
+            img = Image.open(p)
+            sizes.append(img.size)
+            batch.append(preprocess(img))
+        sem = apply_fn(variables, jnp.asarray(np.stack(batch)))
+        # argmax over classes -> grayscale id map, nearest resize to original
+        labels = np.asarray(jnp.argmax(sem, axis=1)).astype(np.uint8)
+        for k, p in enumerate(chunk):
+            out = Image.fromarray(labels[k], "L").resize(
+                sizes[k], Image.NEAREST)
+            rel_dir, fname = save_rel_path(p)
+            os.makedirs(os.path.join(save_root, rel_dir), exist_ok=True)
+            out.save(os.path.join(save_root, rel_dir, fname))
+        print(f"[{task}] {min(i + bs, len(files))}/{len(files)}", flush=True)
+
+
+def run_objdet(args):
+    """Occlusion-ordered instance mask + instance->class JSON
+    (generate_objdet.py:95-115); depth labels MUST exist (ordering input)."""
+    import json as _json
+
+    import jax.numpy as jnp
+
+    from prismer_tpu.experts.obj_detection.rcnn import detect_single
+    from prismer_tpu.experts.objdet_postprocess import occlusion_ordered_mask
+
+    model, variables, preprocess = load_expert_model("obj_detection")
+    save_root = os.path.join(args.save_path, "obj_detection")
+    depth_root = os.path.join(args.save_path, "depth")
+    files = list_images(args.data_path)[args.shard_id::args.num_shards]
+    size = 480
+    for p in files:
+        img = Image.open(p)
+        w0, h0 = img.size
+        x = jnp.asarray(preprocess(img)[None])
+        boxes, scores, classes = detect_single(model, variables, x,
+                                               (size, size))
+        keep = scores >= 0.5  # DefaultPredictor confidence threshold
+        boxes, classes = boxes[keep], classes[keep]
+
+        rel_dir, fname = save_rel_path(p)
+        dpath = os.path.join(depth_root, rel_dir, fname)
+        if os.path.exists(dpath):
+            depth = np.asarray(Image.open(dpath).convert("L").resize(
+                (size, size), Image.BILINEAR), np.float32) / 255.0
+        else:
+            depth = np.zeros((size, size), np.float32)
+        mask, labels = occlusion_ordered_mask(depth, boxes, classes)
+        out = Image.fromarray(mask, "L").resize((w0, h0), Image.NEAREST)
+        os.makedirs(os.path.join(save_root, rel_dir), exist_ok=True)
+        out.save(os.path.join(save_root, rel_dir, fname))
+        with open(os.path.join(save_root, rel_dir,
+                               fname.replace(".png", ".json")), "w") as f:
+            _json.dump(labels, f)
+        print(f"[obj_detection] {p}", flush=True)
+
+
+def run_ocr(args):
+    """Word polygons -> id mask + per-word CLIP(PCA) feature sidecar
+    (generate_ocrdet.py:47-90). Without converted CLIP weights the features
+    fall back to the background vector (documented round-2 item)."""
+    import jax.numpy as jnp
+
+    from prismer_tpu.data.features import get_feature_tables
+    from prismer_tpu.experts.ocr_detection.postprocess import \
+        OrientedTextPostProcessing
+
+    apply_fn, variables, preprocess = load_expert_model("ocr_detection")
+    post = OrientedTextPostProcessing()
+    tables = get_feature_tables()
+    save_root = os.path.join(args.save_path, "ocr_detection")
+    files = list_images(args.data_path)[args.shard_id::args.num_shards]
+    size = 480
+    for p in files:
+        img = Image.open(p)
+        w0, h0 = img.size
+        x = jnp.asarray(preprocess(img)[None])
+        preds = {k: np.asarray(v[0]) for k, v in
+                 apply_fn(variables, x).items()}
+        words = post(preds, scale_w=w0 / size, scale_h=h0 / size, W=w0, H=h0)
+        if not words:
+            continue
+        mask = np.full((h0, w0), 255, np.uint8)
+        feats = {}
+        for i, wd in enumerate(reversed(words)):  # reference stamps reversed
+            poly = np.asarray(wd.word_bbox, np.float32).reshape(4, 2)
+            _fill_polygon(mask, poly, i)
+            feats[str(i)] = tables.background  # CLIP+PCA embed: round 2
+        rel_dir, fname = save_rel_path(p)
+        os.makedirs(os.path.join(save_root, rel_dir), exist_ok=True)
+        Image.fromarray(mask, "L").save(
+            os.path.join(save_root, rel_dir, fname))
+        with open(os.path.join(save_root, rel_dir,
+                               fname.replace(".png", ".pt")), "wb") as f:
+            np.savez(f, **feats)
+        print(f"[ocr_detection] {p}", flush=True)
+
+
+def _fill_polygon(mask: np.ndarray, poly: np.ndarray, value: int) -> None:
+    """Rasterize a convex quad into `mask` (cv2.fillPoly stand-in)."""
+    try:
+        import cv2
+        cv2.fillPoly(mask, [poly.astype(np.int32)], value)
+        return
+    except ImportError:
+        pass
+    h, w = mask.shape
+    ys, xs = np.mgrid[0:h, 0:w]
+    inside = np.ones((h, w), bool)
+    n = len(poly)
+    for i in range(n):
+        a, b = poly[i], poly[(i + 1) % n]
+        cross = ((b[0] - a[0]) * (ys - a[1]) - (b[1] - a[1]) * (xs - a[0]))
+        inside &= cross >= 0 if _signed_area(poly) > 0 else cross <= 0
+    mask[inside] = value
+
+
+def _signed_area(poly: np.ndarray) -> float:
+    x, y = poly[:, 0], poly[:, 1]
+    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", required=True,
@@ -145,10 +277,15 @@ def main():
         args.data_path = cfg.get("data_path", args.data_path)
         args.save_path = cfg.get("save_path", args.save_path)
 
-    {"depth": run_depth, "normal": run_normal, "edge": run_edge}.get(
-        args.task, lambda a: (_ for _ in ()).throw(
-            NotImplementedError(f"{args.task} generator pending model port"))
-    )(args)
+    if args.task in ("seg_coco", "seg_ade"):
+        run_segmentation(args, args.task)
+    elif args.task == "obj_detection":
+        run_objdet(args)
+    elif args.task == "ocr_detection":
+        run_ocr(args)
+    else:
+        {"depth": run_depth, "normal": run_normal,
+         "edge": run_edge}[args.task](args)
 
 
 if __name__ == "__main__":

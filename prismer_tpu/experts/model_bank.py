@@ -98,12 +98,61 @@ def load_expert_model(task: str, image_size: int = 480
         return apply_fn, variables, _resize_norm(image_size, IMAGENET_MEAN,
                                                  (1.0, 1.0, 1.0))
 
-    if task in ("seg_coco", "seg_ade", "obj_detection", "ocr_detection"):
-        raise NotImplementedError(
-            f"expert '{task}' model port is in progress; its data-pipeline "
-            "consumers (label IO, tables, in-painting) are complete")
+    if task in ("seg_coco", "seg_ade"):
+        from prismer_tpu.experts.segmentation.mask2former import MaskFormer
+        model = MaskFormer(num_classes=133 if task == "seg_coco" else 150)
+        variables = _init_fresh(model, (1, image_size, image_size, 3))
+        # TODO(weights): Swin-L + Mask2Former pickle converter (round 2)
+        apply_fn = jax.jit(lambda v, x: model.apply(v, x))
+        # detectron2 pixel stats (config PIXEL_MEAN/STD over 255)
+        mean = np.array([123.675, 116.28, 103.53], np.float32) / 255.0
+        std = np.array([58.395, 57.12, 57.375], np.float32) / 255.0
+        return apply_fn, variables, _resize_norm(image_size, mean, std)
+
+    if task == "obj_detection":
+        from prismer_tpu.experts.obj_detection.rcnn import UniDet
+        model = UniDet()
+        variables = _init_unidet(model, image_size)
+        mean = np.array([123.68, 116.779, 103.939], np.float32) / 255.0
+        std = np.array([58.393, 57.12, 57.375], np.float32) / 255.0
+        return model, variables, _resize_norm(image_size, mean, std)
+
+    if task == "ocr_detection":
+        from prismer_tpu.experts.ocr_detection.model import CharNet
+        model = CharNet()
+        variables = _init_fresh(model, (1, image_size, image_size, 3))
+        apply_fn = jax.jit(lambda v, x: model.apply(v, x))
+        return apply_fn, variables, _resize_norm(image_size, IMAGENET_MEAN,
+                                                 IMAGENET_STD)
 
     raise ValueError(f"unknown expert task: {task}")
+
+
+def _init_fresh(model, input_shape) -> Dict[str, Any]:
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        return model.init(jax.random.key(0),
+                          jnp.zeros(input_shape, jnp.float32))
+
+
+def _init_unidet(model, image_size: int) -> Dict[str, Any]:
+    from prismer_tpu.experts.obj_detection.rcnn import UniDet
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        img = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+        v1 = model.init(jax.random.key(0), img, method=UniDet.features)
+        feats = model.apply(v1, img, method=UniDet.features)
+        params = dict(v1["params"])
+        stats = dict(v1.get("batch_stats", {}))
+        v2 = model.init(jax.random.key(1), feats, method=UniDet.rpn_proposals)
+        params.update(v2["params"])
+        boxes = jnp.zeros((8, 4), jnp.float32)
+        for stage in range(3):
+            v3 = model.init(jax.random.key(2 + stage), feats, boxes, stage,
+                            method=UniDet.cascade_stage)
+            params.update(v3["params"])
+            stats.update(v3.get("batch_stats", {}))
+    return {"params": params, "batch_stats": stats}
 
 
 def _init_or_convert(model, converter, task: str, input_shape) -> Dict[str, Any]:
