@@ -215,6 +215,210 @@ def convert_dpt(sd: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": P}
 
 
+def _layer_norm_t(sd, p):
+    return {"scale": _np(sd[f"{p}.weight"]), "bias": _np(sd[f"{p}.bias"])}
+
+
+def _gn(sd, p):
+    return {"scale": _np(sd[f"{p}.weight"]), "bias": _np(sd[f"{p}.bias"])}
+
+
+# ---------------------------------------------------------------------------
+# CharNet (icdar2015_hourglass88.pth)
+# ---------------------------------------------------------------------------
+
+def _charnet_residual(sd, p):
+    params = {"conv1": conv(sd, f"{p}.conv_1.0"),
+              "conv2": conv(sd, f"{p}.conv_2.0")}
+    stats = {}
+    params["bn1"], stats["bn1"] = batch_norm(sd, f"{p}.conv_1.1")
+    params["bn2"], stats["bn2"] = batch_norm(sd, f"{p}.conv_2.1")
+    if f"{p}.skip.0.weight" in sd:
+        params["skip_conv"] = conv(sd, f"{p}.skip.0")
+        params["skip_bn"], stats["skip_bn"] = batch_norm(sd, f"{p}.skip.1")
+    return params, stats
+
+
+def _charnet_reslayer(sd, p, num_blocks):
+    params, stats = {}, {}
+    for i in range(num_blocks):
+        params[f"res_{i}"], stats[f"res_{i}"] = _charnet_residual(
+            sd, f"{p}.{i}")
+    return params, stats
+
+
+def _charnet_hourglass(sd, p, n, blocks=(2, 2, 2, 2)):
+    params, stats = {}, {}
+    for name, nb in (("up_1", blocks[0]), ("low_1", blocks[0]),
+                     ("low_3", blocks[0])):
+        params[name], stats[name] = _charnet_reslayer(sd, f"{p}.{name}", nb)
+    if n <= 1:
+        params["low_2"], stats["low_2"] = _charnet_reslayer(
+            sd, f"{p}.low_2", blocks[1])
+    else:
+        params["low_2"], stats["low_2"] = _charnet_hourglass(
+            sd, f"{p}.low_2", n - 1, blocks[1:] + blocks[-1:])
+    return params, stats
+
+
+def _charnet_cbr(sd, p):
+    """_conv3x3_bn_relu OrderedDict naming (model.py:21-29)."""
+    params = {"conv": conv(sd, f"{p}.conv")}
+    stats = {}
+    params["bn"], stats["bn"] = batch_norm(sd, f"{p}.bn")
+    return params, stats
+
+
+def convert_charnet(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """CharNet checkpoint -> params for experts.ocr_detection.CharNet."""
+    P: Dict[str, Any] = {}
+    S: Dict[str, Any] = {}
+
+    bb: Dict[str, Any] = {"pre_conv": conv(sd, "backbone.pre.0")}
+    bbs: Dict[str, Any] = {}
+    bb["pre_bn"], bbs["pre_bn"] = batch_norm(sd, "backbone.pre.1")
+    bb["pre_res"], bbs["pre_res"] = _charnet_residual(sd, "backbone.pre.3")
+    for i in range(2):
+        bb[f"hg_{i}"], bbs[f"hg_{i}"] = _charnet_hourglass(
+            sd, f"backbone.hourglass_blocks.{i}", 3)
+    P["backbone"] = bb
+    S["backbone"] = bbs
+
+    for ours, theirs, final in (
+            ("word_detector", "word_detector", "word_det_conv_final"),
+            ("char_detector", "char_detector", "character_det_conv_final")):
+        head: Dict[str, Any] = {}
+        hs: Dict[str, Any] = {}
+        head["det_conv_final"], hs["det_conv_final"] = _charnet_cbr(
+            sd, f"{theirs}.{final}")
+        prefix = "word" if "word" in theirs else "char"
+        head["fg_feat"], hs["fg_feat"] = _charnet_cbr(
+            sd, f"{theirs}.{prefix}_fg_feat")
+        head["reg_feat"], hs["reg_feat"] = _charnet_cbr(
+            sd, f"{theirs}.{prefix}_regression_feat")
+        head["fg_pred"] = conv(sd, f"{theirs}.{prefix}_fg_pred")
+        head["tblr_pred"] = conv(sd, f"{theirs}.{prefix}_tblr_pred")
+        if prefix == "word":
+            head["orient_pred"] = conv(sd, f"{theirs}.orient_pred")
+        P[ours] = head
+        S[ours] = hs
+
+    for i in range(3):
+        P[f"recog_{i}"], S[f"recog_{i}"] = _charnet_cbr(
+            sd, f"char_recognizer.body.{i}")
+    P["recog_cls"] = conv(sd, "char_recognizer.classifier")
+    return {"params": P, "batch_stats": S}
+
+
+# ---------------------------------------------------------------------------
+# Mask2Former (Swin-L, detectron2 .pkl 'model' dict; numpy or torch values)
+# ---------------------------------------------------------------------------
+
+SWIN_L_DEPTHS = (2, 2, 18, 2)
+
+
+def convert_swin(sd: Dict[str, Any], prefix: str = "backbone."
+                 ) -> Dict[str, Any]:
+    """Swin-L keys -> params for experts.segmentation.SwinTransformer."""
+    P: Dict[str, Any] = {
+        "patch_embed": conv(sd, f"{prefix}patch_embed.proj"),
+        "patch_norm": _layer_norm_t(sd, f"{prefix}patch_embed.norm"),
+    }
+    for s, depth in enumerate(SWIN_L_DEPTHS):
+        for b in range(depth):
+            q = f"{prefix}layers.{s}.blocks.{b}"
+            P[f"stage{s}_block{b}"] = {
+                "norm1": _layer_norm_t(sd, f"{q}.norm1"),
+                "norm2": _layer_norm_t(sd, f"{q}.norm2"),
+                "attn": {
+                    "qkv": linear(sd, f"{q}.attn.qkv"),
+                    "proj": linear(sd, f"{q}.attn.proj"),
+                    "rel_pos_bias": _np(
+                        sd[f"{q}.attn.relative_position_bias_table"]),
+                },
+                "fc1": linear(sd, f"{q}.mlp.fc1"),
+                "fc2": linear(sd, f"{q}.mlp.fc2"),
+            }
+        if s < len(SWIN_L_DEPTHS) - 1:
+            q = f"{prefix}layers.{s}.downsample"
+            P[f"downsample{s}"] = {
+                "norm": _layer_norm_t(sd, f"{q}.norm"),
+                "reduction": {"kernel": _np(sd[f"{q}.reduction.weight"]).T},
+            }
+        P[f"out_norm{s}"] = _layer_norm_t(sd, f"{prefix}norm{s}")
+    return P
+
+
+def _torch_mha(sd, p):
+    w = _np(sd[f"{p}.in_proj_weight"])
+    b = np.split(_np(sd[f"{p}.in_proj_bias"]), 3)
+    wq, wk, wv = np.split(w, 3, axis=0)
+    return {"q_proj": {"kernel": wq.T, "bias": b[0]},
+            "k_proj": {"kernel": wk.T, "bias": b[1]},
+            "v_proj": {"kernel": wv.T, "bias": b[2]},
+            "out_proj": linear(sd, f"{p}.out_proj")}
+
+
+def convert_mask2former(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Full Mask2Former checkpoint ('model' dict of a detectron2 .pkl) ->
+    params for experts.segmentation.MaskFormer."""
+    P: Dict[str, Any] = {"backbone": convert_swin(sd)}
+
+    pd: Dict[str, Any] = {}
+    base = "sem_seg_head.pixel_decoder"
+    pd["level_embed"] = _np(sd[f"{base}.transformer.level_embed"])
+    for i in range(3):
+        pd[f"input_proj_{i}"] = conv(sd, f"{base}.input_proj.{i}.0")
+        pd[f"input_norm_{i}"] = _gn(sd, f"{base}.input_proj.{i}.1")
+    for i in range(6):
+        q = f"{base}.transformer.encoder.layers.{i}"
+        pd[f"enc_{i}"] = {
+            "self_attn": {
+                "sampling_offsets": linear(sd, f"{q}.self_attn.sampling_offsets"),
+                "attention_weights": linear(sd, f"{q}.self_attn.attention_weights"),
+                "value_proj": linear(sd, f"{q}.self_attn.value_proj"),
+                "output_proj": linear(sd, f"{q}.self_attn.output_proj"),
+            },
+            "norm1": _layer_norm_t(sd, f"{q}.norm1"),
+            "norm2": _layer_norm_t(sd, f"{q}.norm2"),
+            "linear1": linear(sd, f"{q}.linear1"),
+            "linear2": linear(sd, f"{q}.linear2"),
+        }
+    pd["adapter_1"] = conv(sd, f"{base}.adapter_1")
+    pd["adapter_norm_1"] = _gn(sd, f"{base}.adapter_1.norm")
+    pd["layer_1"] = conv(sd, f"{base}.layer_1")
+    pd["layer_norm_1"] = _gn(sd, f"{base}.layer_1.norm")
+    pd["mask_features"] = conv(sd, f"{base}.mask_features")
+    P["pixel_decoder"] = pd
+
+    pr: Dict[str, Any] = {}
+    base = "sem_seg_head.predictor"
+    pr["query_feat"] = _np(sd[f"{base}.query_feat.weight"])
+    pr["query_embed"] = _np(sd[f"{base}.query_embed.weight"])
+    pr["level_embed"] = _np(sd[f"{base}.level_embed.weight"])
+    pr["decoder_norm"] = _layer_norm_t(sd, f"{base}.decoder_norm")
+    pr["class_embed"] = linear(sd, f"{base}.class_embed")
+    for i in range(3):
+        pr[f"mask_mlp_{i}"] = linear(sd, f"{base}.mask_embed.layers.{i}")
+    for i in range(9):
+        pr[f"cross_{i}"] = _torch_mha(
+            sd, f"{base}.transformer_cross_attention_layers.{i}.multihead_attn")
+        pr[f"cross_norm_{i}"] = _layer_norm_t(
+            sd, f"{base}.transformer_cross_attention_layers.{i}.norm")
+        pr[f"self_{i}"] = _torch_mha(
+            sd, f"{base}.transformer_self_attention_layers.{i}.self_attn")
+        pr[f"self_norm_{i}"] = _layer_norm_t(
+            sd, f"{base}.transformer_self_attention_layers.{i}.norm")
+        pr[f"ffn1_{i}"] = linear(
+            sd, f"{base}.transformer_ffn_layers.{i}.linear1")
+        pr[f"ffn2_{i}"] = linear(
+            sd, f"{base}.transformer_ffn_layers.{i}.linear2")
+        pr[f"ffn_norm_{i}"] = _layer_norm_t(
+            sd, f"{base}.transformer_ffn_layers.{i}.norm")
+    P["predictor"] = pr
+    return {"params": P}
+
+
 def convert_dexined(sd: Dict[str, Any]) -> Dict[str, Any]:
     """DexiNed checkpoint -> {'params', 'batch_stats'} for experts.edge."""
     params: Dict[str, Any] = {}
