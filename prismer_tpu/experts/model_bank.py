@@ -58,6 +58,16 @@ def _resize_norm(size: int, mean, std) -> Callable[[Image.Image], np.ndarray]:
     std = np.asarray(std, np.float32)
 
     def fn(img: Image.Image) -> np.ndarray:
+        # opt-in native fast path (C++ libjpeg decode + fused resize/norm;
+        # non-antialiased bilinear — tiny numeric delta vs PIL's filter)
+        if os.environ.get("PRISMER_NATIVE_LOADER") == "1":
+            from prismer_tpu import native
+            path = getattr(img, "filename", "")
+            if native.is_available() and path.lower().endswith((".jpg",
+                                                                ".jpeg")):
+                with open(path, "rb") as f:
+                    return native.decode_jpeg_resize(
+                        f.read(), size, size, tuple(mean), tuple(std))
         img = img.convert("RGB").resize((size, size), Image.BILINEAR)
         arr = np.asarray(img, np.float32) / 255.0
         return (arr - mean) / std
