@@ -127,12 +127,39 @@ class BPETokenizer:
         self._cache[token] = out
         return out
 
+    def _split_specials(self, text: str) -> List[Tuple[str, bool]]:
+        """Split text around literal special-token strings (HF added-token
+        behavior): '<s>Is it red?' and ' cat</s>' spell specials inline
+        (prismer_vqa.py:18,26; prismer_caption.py:64)."""
+        specials = [self.bos_token, self.eos_token, self.pad_token,
+                    self.unk_token, self.mask_token]
+        pattern = "(" + "|".join(re.escape(s) for s in specials
+                                 if s in self.vocab) + ")"
+        out: List[Tuple[str, bool]] = []
+        for piece in re.split(pattern, text):
+            if not piece:
+                continue
+            is_special = piece in self.vocab and piece in specials
+            # RoBERTa's <mask> is an lstrip=True added token: whitespace
+            # before it is consumed
+            if is_special and piece == self.mask_token and out \
+                    and not out[-1][1]:
+                out[-1] = (out[-1][0].rstrip(" "), False)
+                if not out[-1][0]:
+                    out.pop()
+            out.append((piece, is_special))
+        return out
+
     def tokenize(self, text: str) -> List[str]:
         toks: List[str] = []
-        for piece in _SPLIT_PATTERN.findall(text):
-            mapped = "".join(self.byte_encoder[b]
-                             for b in piece.encode("utf-8"))
-            toks.extend(self._bpe(mapped))
+        for segment, is_special in self._split_specials(text):
+            if is_special:
+                toks.append(segment)
+                continue
+            for piece in _SPLIT_PATTERN.findall(segment):
+                mapped = "".join(self.byte_encoder[b]
+                                 for b in piece.encode("utf-8"))
+                toks.extend(self._bpe(mapped))
         return toks
 
     def encode(self, text: str, add_special_tokens: bool = True) -> List[int]:

@@ -82,6 +82,16 @@ def test_decode_roundtrip(pair):
         assert tok.decode(ids) == hf.decode(ids, skip_special_tokens=True)
 
 
+@pytest.mark.parametrize("text", ["<s>Is it red?", " cat</s>",
+                                  "a <mask> b", "<s>x</s>"])
+def test_inline_special_tokens_match_hf(pair, text):
+    """The task heads spell specials inline ('<s>'+question, ' ans</s>') —
+    they must map to the special ids exactly like HF (prismer_vqa.py:18,26)."""
+    tok, hf = pair
+    assert tok.encode(text, add_special_tokens=False) == \
+        hf(text, add_special_tokens=False)["input_ids"]
+
+
 def test_specials():
     tok = synthetic_tokenizer()
     assert tok.bos_token_id == 0
