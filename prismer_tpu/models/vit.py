@@ -85,7 +85,10 @@ class LabelStem(nn.Module):
         h, w = x.shape[1], x.shape[2]
         scale = (4 if self.id_map else 16) / self.patch_size
         out_h, out_w = int(h * scale), int(w * scale)
-        x = bilinear_resize_align_corners(x, out_h, out_w).astype(self.dtype)
+        # hot path: compute-dtype MXU resize (the reference stems run under
+        # fp16 AMP anyway, train_caption.py:39)
+        x = bilinear_resize_align_corners(
+            x.astype(self.dtype), out_h, out_w, precision=None)
 
         strides = (2, 2, 1, 1) if self.id_map else (2, 2, 2, 2)
         widths = (self.width // 8, self.width // 4, self.width // 2, self.width)

@@ -39,16 +39,27 @@ def _linear_matrix_align_corners(in_size: int, out_size: int) -> np.ndarray:
     return mat.astype(np.float32)
 
 
-def bilinear_resize_align_corners(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
-    """NHWC bilinear resize with align_corners=True (torch UpsamplingBilinear2d)."""
+def bilinear_resize_align_corners(x: jax.Array, out_h: int, out_w: int,
+                                  precision: str = "highest") -> jax.Array:
+    """NHWC bilinear resize with align_corners=True (torch UpsamplingBilinear2d).
+
+    precision='highest' gives bit-level torch parity (used for one-time
+    operators); hot paths (conv stems over 64-channel label maps) pass
+    precision=None to stay on the fast MXU path in the compute dtype."""
     _, h, w, _ = x.shape
     if (h, w) == (out_h, out_w):
         return x
     wh = jnp.asarray(_linear_matrix_align_corners(h, out_h))
     ww = jnp.asarray(_linear_matrix_align_corners(w, out_w))
-    y = jnp.einsum("oh,bhwc->bowc", wh, x.astype(jnp.float32),
-                   precision="highest")
-    y = jnp.einsum("ow,bhwc->bhoc", ww, y, precision="highest")
+    if precision == "highest":
+        y = jnp.einsum("oh,bhwc->bowc", wh, x.astype(jnp.float32),
+                       precision="highest")
+        y = jnp.einsum("ow,bhwc->bhoc", ww, y, precision="highest")
+        return y.astype(x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", wh.astype(x.dtype), x,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("ow,bhwc->bhoc", ww.astype(x.dtype), y.astype(x.dtype),
+                   preferred_element_type=jnp.float32)
     return y.astype(x.dtype)
 
 
