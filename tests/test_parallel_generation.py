@@ -1,0 +1,74 @@
+"""Sharded inference tests: jitted beam search and rank inference with the
+batch sharded across the 8-device CPU mesh (eval-time data parallelism —
+the reference shards its test loader across ranks, train_caption.py:117)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prismer_tpu.config import PrismerConfig
+from prismer_tpu.models.generation import beam_search, rank_answers
+from prismer_tpu.models.prismer import Prismer
+from prismer_tpu.parallel.mesh import batch_sharding, make_mesh, shard_batch, \
+    shard_params
+from tests.test_models import make_expert_inputs, tiny_decoder, tiny_vision
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    vis = tiny_vision()
+    cfg = PrismerConfig(vision=vis, decoder=tiny_decoder(),
+                        prismer_model="prismer_tiny", dtype="float32")
+    model = Prismer(cfg)
+    inputs = make_expert_inputs(rng, vis, batch=8)
+    ids = jnp.asarray(rng.integers(4, 128, (8, 3)).astype(np.int32))
+    mask = jnp.ones((8, 3), dtype=jnp.int32)
+    variables = model.init(jax.random.key(0), inputs, ids, mask)
+    return model, cfg, variables, inputs, ids, mask
+
+
+def test_beam_search_data_parallel(setup):
+    model, cfg, variables, inputs, ids, mask = setup
+    mesh = make_mesh()
+    v_sh = {"params": shard_params(variables["params"], mesh)}
+    inputs_sh = shard_batch(inputs, mesh)
+    ids_sh = shard_batch(ids, mesh)
+    mask_sh = shard_batch(mask, mesh)
+
+    @jax.jit
+    def run(v, experts, p, m):
+        enc = model.apply(v, experts, method=Prismer.encode)
+        seqs, scores = beam_search(
+            model, v, enc, p, m, num_beams=3, max_length=10, min_length=5,
+            length_penalty=1.0, eos_token_id=cfg.decoder.eos_token_id,
+            pad_token_id=cfg.decoder.pad_token_id)
+        return seqs, scores
+
+    seqs_sh, scores_sh = run(v_sh, inputs_sh, ids_sh, mask_sh)
+    # replicated single-device result must agree exactly
+    seqs_1, scores_1 = run(variables, inputs, ids, mask)
+    np.testing.assert_array_equal(np.asarray(seqs_sh), np.asarray(seqs_1))
+    np.testing.assert_allclose(np.asarray(scores_sh), np.asarray(scores_1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_rank_inference_data_parallel(setup):
+    model, cfg, variables, inputs, ids, mask = setup
+    rng = np.random.default_rng(4)
+    ans = jnp.asarray(rng.integers(4, 128, (12, 3)).astype(np.int32))
+    amask = jnp.ones((12, 3), dtype=jnp.int32)
+    mesh = make_mesh()
+    v_sh = {"params": shard_params(variables["params"], mesh)}
+
+    @jax.jit
+    def run(v, experts, p, m):
+        enc = model.apply(v, experts, method=Prismer.encode)
+        return rank_answers(model, v, enc, p, m, ans, amask, k_test=4,
+                            pad_token_id=cfg.decoder.pad_token_id)
+
+    got_sh = run(v_sh, shard_batch(inputs, mesh), shard_batch(ids, mesh),
+                 shard_batch(mask, mesh))
+    got_1 = run(variables, inputs, ids, mask)
+    np.testing.assert_array_equal(np.asarray(got_sh), np.asarray(got_1))
