@@ -110,9 +110,24 @@ def load_pretrained(path: str, cfg: PrismerConfig, variables):
             stats = merge_params(stats, tree["batch_stats"])
         return {"params": params, "batch_stats": stats}
     if path.endswith(".npz"):
+        # flat export from train.checkpoint.save_params_npz (params only)
         flat = dict(np.load(path))
-        out = jax.tree_util.tree_map_with_path(
-            lambda p, v: flat.get(jax.tree_util.keystr(p), v), variables)
+        loaded = [0]
+
+        def lookup(p, v):
+            key = jax.tree_util.keystr(p)
+            if key in flat:
+                loaded[0] += 1
+                assert flat[key].shape == np.shape(v), key
+                return jnp.asarray(flat[key])
+            return v
+
+        params = jax.tree_util.tree_map_with_path(lookup,
+                                                  variables["params"])
+        if loaded[0] == 0:
+            raise ValueError(f"no matching params found in {path}")
+        out = dict(variables)
+        out["params"] = params
         return out
     raise ValueError(f"unknown pretrained format: {path}")
 
