@@ -106,6 +106,10 @@ def main():
     step_fn = build_train_step(model, tx, freeze_tree=labels)
     gen_fn = caption_head.build_generate_fn(model)
 
+    from prismer_tpu.train.metrics import MetricsLogger
+    metrics_log = MetricsLogger(ckpt_dir,
+                                enabled=common.is_main_process())
+
     t0 = time.time()
     if not args.evaluate:
         for epoch in range(start_epoch, config["max_epoch"]):
@@ -132,6 +136,8 @@ def main():
                 cider = scores["CIDEr"]
                 print(f"Epoch {epoch:03d} | loss {train_loss:.4f} | "
                       f"CIDEr {cider:.2f} | {time.time() - t0:.0f}s")
+                metrics_log.log({"epoch": epoch, "train_loss": train_loss,
+                                 **{k: float(v) for k, v in scores.items()}})
             cider = common.broadcast_from_main(cider)
             # best-CIDEr gating (train_caption.py:162-176); non-COCO saves
             # every epoch
