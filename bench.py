@@ -28,6 +28,7 @@ Prints ONE JSON line:
 import argparse
 import functools
 import json
+import sys
 import time
 
 import numpy as np
@@ -159,7 +160,8 @@ def main():
     t_compile = time.perf_counter()
     timed_value(cached_program, variables, experts_fixed, jnp.int32(0))
     print(f"# cached pipeline compile+first: "
-          f"{time.perf_counter() - t_compile:.1f}s", flush=True)
+          f"{time.perf_counter() - t_compile:.1f}s", file=sys.stderr,
+          flush=True)
     times = []
     for r in range(args.repeats):
         t, _ = timed_value(cached_program, variables, experts_fixed,
@@ -196,7 +198,8 @@ def main():
         t_compile = time.perf_counter()
         timed_value(baseline_program, variables, jnp.int32(0))
         print(f"# baseline pattern compile+first: "
-              f"{time.perf_counter() - t_compile:.1f}s", flush=True)
+              f"{time.perf_counter() - t_compile:.1f}s", file=sys.stderr,
+              flush=True)
         btimes = []
         for r in range(max(args.repeats - 1, 1)):
             t, _ = timed_value(baseline_program, variables, jnp.int32(r + 7))
