@@ -99,16 +99,76 @@ def timed_value(fn, *args):
     return time.perf_counter() - t0, v
 
 
+def vqa_latency(args):
+    """p50 per-image VQA rank-inference latency (BASELINE.md north-star):
+    batch 1, k_test=16 (configs/vqa.yaml), 3k-answer list, full 6-expert
+    encoder at 480px."""
+    import jax
+    import jax.numpy as jnp
+
+    from prismer_tpu.models.generation import rank_answers
+    from prismer_tpu.models.prismer import Prismer
+
+    model, cfg = make_model(args.model, args.quick)
+    batch = 1
+    variables = init_variables(model, cfg, batch)
+    num_answers, ans_len, q_len, k_test = 3000, 4, 12, 16
+
+    @jax.jit
+    def make_inputs(seed):
+        key = jax.random.key(seed)
+        return (device_experts(cfg, key, batch),
+                jax.random.randint(key, (batch, q_len), 4, 1000),
+                jax.random.randint(jax.random.fold_in(key, 1),
+                                   (num_answers, ans_len), 4,
+                                   cfg.decoder.vocab_size))
+
+    experts, q_ids, ans_ids = make_inputs(jnp.int32(0))
+    q_mask = jnp.ones((batch, q_len), jnp.int32)
+    ans_mask = jnp.ones((num_answers, ans_len), jnp.int32)
+
+    @jax.jit
+    def run(variables, experts, q, seed):
+        q = q + 0 * seed  # seed varies the dispatch
+        enc = model.apply(variables, experts, method=Prismer.encode)
+        best = rank_answers(model, variables, enc, q, q_mask, ans_ids,
+                            ans_mask, k_test=k_test,
+                            pad_token_id=cfg.decoder.pad_token_id)
+        return jnp.sum(best)
+
+    timed_value(run, variables, experts, q_ids, jnp.int32(0))  # compile
+    times = []
+    for r in range(max(args.repeats, 5)):
+        _, q2, _ = make_inputs(jnp.int32(r + 1))
+        t, _ = timed_value(run, variables, experts, q2, jnp.int32(r + 1))
+        times.append(t)
+    p50 = float(np.median(times))
+    print(json.dumps({
+        "metric": "prismer_base_vqa_rank_k16_480px_p50_latency",
+        "value": round(p50 * 1000, 2),
+        "unit": "ms/image",
+        "vs_baseline": None,
+    }), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--model", default="prismer_base")
+    ap.add_argument("--task", default="caption", choices=["caption", "vqa"])
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--iters", type=int, default=2,
                     help="pipeline iterations inside the timed program")
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
+
+    if args.task == "vqa":
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/prismer_tpu_jax_cache")
+        vqa_latency(args)
+        return
 
     import jax
     import jax.numpy as jnp
