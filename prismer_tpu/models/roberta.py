@@ -266,10 +266,14 @@ class RobertaCausalDecoder(nn.Module):
     def setup(self):
         c = self.cfg
         self.embeddings = Embeddings(c, dtype=self.dtype)
-        self.layers = [DecoderLayer(c, with_cross=True, dtype=self.dtype,
-                                    name=f"layers_{i}")
+        # __call__ (the training path) is rematerialized per layer to trade
+        # FLOPs for HBM; the cached decode methods are untouched.
+        # `train` (arg 4 counting self) is a static python bool.
+        layer_cls = nn.remat(DecoderLayer, static_argnums=(4,))
+        self.layers = [layer_cls(c, with_cross=True, dtype=self.dtype,
+                                 name=f"layers_{i}")
                        for i in range(c.num_hidden_layers)]
-        self.output_layer = DecoderLayer(c, with_cross=False, dtype=self.dtype)
+        self.output_layer = layer_cls(c, with_cross=False, dtype=self.dtype)
         self.lm_head = LMHead(c, dtype=self.dtype)
 
     # -- full sequence ----------------------------------------------------
@@ -281,8 +285,8 @@ class RobertaCausalDecoder(nn.Module):
         hidden = self.embeddings(input_ids, position_ids, train=train)
         enc = encoder_hidden_states.astype(self.dtype)
         for layer in self.layers:
-            hidden = layer(hidden, attention_mask, enc, train=train)
-        hidden = self.output_layer(hidden, attention_mask, None, train=train)
+            hidden = layer(hidden, attention_mask, enc, train)
+        hidden = self.output_layer(hidden, attention_mask, None, train)
         return self.lm_head(hidden, self.embeddings.word_embeddings)
 
     # -- cached decode ------------------------------------------------------
