@@ -158,7 +158,7 @@ def main():
     ap.add_argument("--task", default="caption", choices=["caption", "vqa"])
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-baseline", action="store_true")
-    ap.add_argument("--iters", type=int, default=2,
+    ap.add_argument("--iters", type=int, default=4,
                     help="pipeline iterations inside the timed program")
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
