@@ -139,9 +139,10 @@ def main():
                 metrics_log.log({"epoch": epoch, "train_loss": train_loss,
                                  **{k: float(v) for k, v in scores.items()}})
             cider = common.broadcast_from_main(cider)
-            # best-CIDEr gating (train_caption.py:162-176); non-COCO saves
-            # every epoch
-            if args.target_dataset != "coco" or cider > best_cider:
+            # best-CIDEr gating (train_caption.py:162-176); ties keep the
+            # newest state so the first epoch always checkpoints; non-COCO
+            # saves every epoch
+            if args.target_dataset != "coco" or cider >= best_cider:
                 best_cider = max(best_cider, cider)
                 save_checkpoint(os.path.join(ckpt_dir, "state"), state,
                                 {"epoch": epoch, "best_cider": best_cider})

@@ -17,6 +17,16 @@ Semantics (matching the reference spec exactly):
 Bilinear sampling follows torch grid_sample(mode='bilinear',
 padding_mode='zeros', align_corners=False): src = loc * size - 0.5, out-of-
 bounds corners contribute zero.
+
+Why XLA gathers and not a Pallas kernel: the op is a data-dependent gather
+with ~zero arithmetic intensity (4 corner reads + 7 FLOPs per sample).
+Mosaic/TPU has no vectorized dynamic gather inside kernels, so a Pallas
+version must either loop scalar DMAs (latency-bound, far slower) or express
+the gather as one-hot matmuls (a (BQ*P*4, H_l*W_l) one-hot per level —
+hundreds of GFLOPs of wasted MXU work and >VMEM one-hot tiles). XLA's
+native gather lowering is the memory-bound optimum on this hardware; this
+formulation keeps everything fused in one jit program. (SURVEY.md hard-part
+#3 anticipated exactly this trade-off.)
 """
 
 from __future__ import annotations
