@@ -5,7 +5,9 @@ Returns (apply_fn, variables, preprocess) where apply_fn is a jitted
 NHWC-batch function, variables the flax tree (converted from the published
 checkpoint when available, fresh init otherwise), and preprocess a host-side
 callable PIL.Image -> np.ndarray replicating the reference's torchvision
-transform for that expert.
+transform for that expert. Exception: 'obj_detection' returns the UniDet
+module itself in the first slot — its inference interleaves device programs
+with host NMS (experts/obj_detection/rcnn.py detect_single).
 
 Checkpoints are searched under PRISMER_EXPERT_WEIGHTS (default
 'experts/expert_weights'), same filenames as the reference's

@@ -297,7 +297,3 @@ def padding_mask_bias(attention_mask: jax.Array) -> jax.Array:
     return bias[:, None, None, :]
 
 
-def causal_mask_bias(length: int) -> jax.Array:
-    """(1, 1, L, L) additive causal bias (decoder self-attention)."""
-    mask = jnp.tril(jnp.ones((length, length), dtype=jnp.float32))
-    return ((1.0 - mask) * NEG_INF)[None, None, :, :]
