@@ -311,6 +311,115 @@ def convert_charnet(sd: Dict[str, Any]) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------
+# UniDet (detectron2 GeneralizedRCNN; ResNeSt-200 + FPN P3-P7 + cascade)
+# ---------------------------------------------------------------------------
+
+def _d2_conv(sd, p):
+    """detectron2 Conv2d with attached .norm (SyncBN) -> conv + bn pair."""
+    params = {"kernel": _np(sd[f"{p}.weight"]).transpose(2, 3, 1, 0)}
+    if f"{p}.bias" in sd:
+        params["bias"] = _np(sd[f"{p}.bias"])
+    stats = None
+    if f"{p}.norm.weight" in sd:
+        bn = {"scale": _np(sd[f"{p}.norm.weight"]),
+              "bias": _np(sd[f"{p}.norm.bias"])}
+        stats = {"mean": _np(sd[f"{p}.norm.running_mean"]),
+                 "var": _np(sd[f"{p}.norm.running_var"])}
+        return params, bn, stats
+    return params, None, None
+
+
+def convert_unidet(sd: Dict[str, Any], blocks=None) -> Dict[str, Any]:
+    """UniDet checkpoint -> params for experts.obj_detection.UniDet.
+
+    Key namespace from the reference source (unidet/modeling/backbone/
+    resnest.py attribute names under detectron2's module registry):
+    backbone.bottom_up.stem.conv1_{1,2,3}, backbone.bottom_up.res{2-5}.{b}
+    .{conv1,conv2(.conv/.bn0/.fc1/.bn1/.fc2),conv3,shortcut},
+    backbone.fpn_lateral{3-5}/fpn_output{3-5}/top_block.{p6,p7},
+    proposal_generator.rpn_head.{conv,objectness_logits,anchor_deltas},
+    roi_heads.box_head.{s}.conv{1-4}/fc1 + roi_heads.box_predictor.{s}
+    .{cls_score,bbox_pred}."""
+    from prismer_tpu.experts.obj_detection.resnest import RESNEST200_BLOCKS
+    if blocks is None:
+        blocks = RESNEST200_BLOCKS
+
+    P: Dict[str, Any] = {}
+    S: Dict[str, Any] = {}
+    bb: Dict[str, Any] = {}
+    bbs: Dict[str, Any] = {}
+    bu = "backbone.bottom_up"
+    for i in (1, 2, 3):
+        cp, bn, st = _d2_conv(sd, f"{bu}.stem.conv1_{i}")
+        bb[f"stem_conv{i}"] = cp
+        bb[f"stem_bn{i}"] = bn
+        bbs[f"stem_bn{i}"] = st
+    for s, n in enumerate(blocks):
+        for b in range(n):
+            q = f"{bu}.res{s + 2}.{b}"
+            blk: Dict[str, Any] = {}
+            bst: Dict[str, Any] = {}
+            cp, bn, st = _d2_conv(sd, f"{q}.conv1")
+            blk["conv1"], blk["bn1"], bst["bn1"] = cp, bn, st
+            splat: Dict[str, Any] = {"conv": conv(sd, f"{q}.conv2.conv"),
+                                     "fc1": conv(sd, f"{q}.conv2.fc1"),
+                                     "fc2": conv(sd, f"{q}.conv2.fc2")}
+            sst: Dict[str, Any] = {}
+            splat["bn0"], sst["bn0"] = batch_norm(sd, f"{q}.conv2.bn0")
+            splat["bn1"], sst["bn1"] = batch_norm(sd, f"{q}.conv2.bn1")
+            blk["conv2"] = splat
+            bst["conv2"] = sst
+            cp, bn, st = _d2_conv(sd, f"{q}.conv3")
+            blk["conv3"], blk["bn3"], bst["bn3"] = cp, bn, st
+            if f"{q}.shortcut.weight" in sd:
+                cp, bn, st = _d2_conv(sd, f"{q}.shortcut")
+                blk["shortcut_conv"] = cp
+                blk["shortcut_bn"] = bn
+                bst["shortcut_bn"] = st
+            bb[f"res{s + 2}_block{b}"] = blk
+            bbs[f"res{s + 2}_block{b}"] = bst
+    P["backbone"] = bb
+    S["backbone"] = bbs
+
+    fpn: Dict[str, Any] = {}
+    fst: Dict[str, Any] = {}
+    for lvl, f in ((3, "res3"), (4, "res4"), (5, "res5")):
+        cp, bn, st = _d2_conv(sd, f"backbone.fpn_lateral{lvl}")
+        fpn[f"lateral_{f}"], fpn[f"lateral_bn_{f}"] = cp, bn
+        fst[f"lateral_bn_{f}"] = st
+        cp, bn, st = _d2_conv(sd, f"backbone.fpn_output{lvl}")
+        fpn[f"output_p{lvl}"], fpn[f"output_bn_p{lvl}"] = cp, bn
+        fst[f"output_bn_p{lvl}"] = st
+    fpn["p6"], _, _ = _d2_conv(sd, "backbone.top_block.p6")
+    fpn["p7"], _, _ = _d2_conv(sd, "backbone.top_block.p7")
+    P["fpn"] = fpn
+    S["fpn"] = fst
+
+    rpn = "proposal_generator.rpn_head"
+    P["rpn"] = {"conv": _d2_conv(sd, f"{rpn}.conv")[0],
+                "objectness": _d2_conv(sd, f"{rpn}.objectness_logits")[0],
+                "anchor_deltas": _d2_conv(sd, f"{rpn}.anchor_deltas")[0]}
+
+    for stage in range(3):
+        head: Dict[str, Any] = {}
+        hst: Dict[str, Any] = {}
+        for i in range(4):
+            cp, bn, st = _d2_conv(sd,
+                                  f"roi_heads.box_head.{stage}.conv{i + 1}")
+            head[f"conv{i}"] = cp
+            head[f"conv_bn{i}"] = bn
+            hst[f"conv_bn{i}"] = st
+        head["fc1"] = linear(sd, f"roi_heads.box_head.{stage}.fc1")
+        head["cls_score"] = linear(
+            sd, f"roi_heads.box_predictor.{stage}.cls_score")
+        head["bbox_pred"] = linear(
+            sd, f"roi_heads.box_predictor.{stage}.bbox_pred")
+        P[f"box_head_{stage}"] = head
+        S[f"box_head_{stage}"] = hst
+    return {"params": P, "batch_stats": S}
+
+
+# ---------------------------------------------------------------------------
 # Mask2Former (Swin-L, detectron2 .pkl 'model' dict; numpy or torch values)
 # ---------------------------------------------------------------------------
 
