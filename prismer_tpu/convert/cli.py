@@ -50,7 +50,7 @@ def main():
     ap.add_argument("--kind", required=True,
                     choices=["prismer", "clip_vision", "roberta", "dpt",
                              "nnet", "dexined", "charnet", "mask2former",
-                             "clip_text"])
+                             "unidet", "clip_text"])
     ap.add_argument("--src", required=True)
     ap.add_argument("--dst", required=True)
     ap.add_argument("--prismer_model", default="prismer_base")
@@ -91,6 +91,8 @@ def main():
         _save(cve.convert_charnet(sd), args.dst)
     elif args.kind == "mask2former":
         _save(cve.convert_mask2former(sd), args.dst)
+    elif args.kind == "unidet":
+        _save(cve.convert_unidet(sd), args.dst)
     elif args.kind == "clip_text":
         from prismer_tpu.experts.clip_text import convert_clip_text
         _save(convert_clip_text(sd), args.dst)
