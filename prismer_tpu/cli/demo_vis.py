@@ -11,7 +11,6 @@ matplotlib dependency."""
 from __future__ import annotations
 
 import argparse
-import json
 import os
 
 import numpy as np

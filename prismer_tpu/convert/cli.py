@@ -17,8 +17,6 @@ from __future__ import annotations
 
 import argparse
 
-import numpy as np
-
 FULL_EXPERTS = ["depth", "normal", "seg_coco", "edge", "obj_detection",
                 "ocr_detection"]
 

@@ -7,7 +7,7 @@ Layout rules as in torch_to_jax.py; torch ConvTranspose2d weights
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import numpy as np
 

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
-import jax
 import jax.numpy as jnp
 
 from prismer_tpu.config import canonical_expert

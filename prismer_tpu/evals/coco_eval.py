@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import json
 from collections import defaultdict
-from typing import Any, Dict, List, Sequence, Union
+from typing import Any, Dict, List, Union
 
 
 def _load_gt(gt: Union[str, Dict]) -> Dict[Any, List[str]]:

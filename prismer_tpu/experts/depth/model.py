@@ -23,7 +23,7 @@ input grid (vit.py:148-163).
 from __future__ import annotations
 
 import functools
-from typing import Any, List, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

@@ -32,7 +32,6 @@ import glob
 import os
 from typing import List, Tuple
 
-import jax
 import numpy as np
 import yaml
 from PIL import Image

@@ -24,8 +24,7 @@ the offline generator's batch pattern.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Tuple
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,7 @@ clipper.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax

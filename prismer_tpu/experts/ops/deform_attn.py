@@ -31,11 +31,10 @@ formulation keeps everything fused in one jit program. (SURVEY.md hard-part
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _bilinear_sample_zero_pad(value_l: jax.Array, x: jax.Array, y: jax.Array

@@ -15,7 +15,7 @@ Feature maps are padded to window multiples inside blocks (static shapes).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax

@@ -18,7 +18,6 @@ string-level convenience wrappers for demo/eval parity.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax

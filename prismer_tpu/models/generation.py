@@ -26,12 +26,10 @@ Everything is batch-first, statically shaped, and usable under jit/pjit.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from prismer_tpu.models.prismer import Prismer
 from prismer_tpu.models.roberta import (label_smoothed_loss,

@@ -11,7 +11,7 @@ sharding is likewise an external NamedSharding spec.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax

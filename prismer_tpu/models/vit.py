@@ -24,7 +24,7 @@ Everything is batch-first, statically shaped; LayerNorm/softmax in fp32.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

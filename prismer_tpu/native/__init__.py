@@ -12,7 +12,7 @@ import os
 import subprocess
 import sys
 import sysconfig
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

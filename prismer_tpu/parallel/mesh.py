@@ -18,7 +18,7 @@ model/prismer.py:61-94) is unnecessary: trainability is an optax partition
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 import jax
 import numpy as np

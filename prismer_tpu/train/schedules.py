@@ -3,7 +3,6 @@ expressed as pure step -> lr functions for optax injection."""
 
 from __future__ import annotations
 
-import math
 from typing import Callable
 
 import jax.numpy as jnp
