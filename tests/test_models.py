@@ -169,3 +169,30 @@ def test_bf16_forward_finite(rng):
     logits = model.apply(params, inputs, ids, mask)
     assert logits.dtype == jnp.float32  # lm head always returns fp32
     assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_instance_embedding_shared_by_id_across_batch(rng):
+    """The obj-detection instance embedding assigns ONE random slot per id,
+    shared across the batch, re-rolled per forward (vit.py:141-148)."""
+    experts = (("rgb", 3), ("obj_detection", 64))
+    cfg = tiny_vision(experts=experts)
+    model = VisionTransformer(cfg)
+    inputs = make_expert_inputs(rng, cfg)
+    # identical label features + instance maps for both samples
+    label = inputs["obj_detection"]["label"][0:1]
+    inst = inputs["obj_detection"]["instance"][0:1]
+    inputs["obj_detection"] = {
+        "label": jnp.concatenate([label, label]),
+        "instance": jnp.concatenate([inst, inst]),
+    }
+    inputs["rgb"] = jnp.concatenate([inputs["rgb"][0:1]] * 2)
+    params = model.init({"params": jax.random.key(0),
+                         "instance": jax.random.key(1)}, inputs)
+
+    out1 = model.apply(params, inputs, rngs={"instance": jax.random.key(5)})
+    # identical inputs + same instance key -> identical outputs across batch
+    np.testing.assert_allclose(np.asarray(out1[0]), np.asarray(out1[1]),
+                               atol=1e-5)
+    # a different instance key re-rolls the slots -> different encoding
+    out2 = model.apply(params, inputs, rngs={"instance": jax.random.key(6)})
+    assert float(jnp.max(jnp.abs(out1 - out2))) > 1e-4
