@@ -200,7 +200,7 @@ def beam_search(model: Prismer, variables: Dict[str, Any],
 
         step_logits, cache = model.apply(
             variables, new_tokens.reshape(-1), st.index, pos_ids,
-            key_mask, cache, method=Prismer.decode_step)
+            key_mask, cache, k, method=Prismer.decode_step)
 
         return BeamState(
             index=st.index + 1,

@@ -94,6 +94,22 @@ class SelfAttentionCore(nn.Module):
         q = self.project_q(hidden)
         return merge_heads(dot_product_attention(q, k, v, mask_bias))
 
+    def attend_grouped(self, hidden: jax.Array, k: jax.Array, v: jax.Array,
+                       beams: int) -> jax.Array:
+        """Beam-grouped cross-attention: queries (B*beams, P, D) against
+        per-sample K/V (B, H, L, Dh) — the K/V are shared by a sample's
+        beams, so they are never tiled or reordered (3x less cache HBM than
+        the naive beam-tiled layout)."""
+        n, p, d = hidden.shape
+        b = n // beams
+        q = self.project_q(hidden)                 # (B*K, H, P, Dh)
+        h_heads, dh = q.shape[1], q.shape[3]
+        q = q.reshape(b, beams, h_heads, p, dh).transpose(0, 2, 1, 3, 4)
+        q = q.reshape(b, h_heads, beams * p, dh)
+        out = dot_product_attention(q, k, v, None)  # (B, H, K*P, Dh)
+        out = out.reshape(b, h_heads, beams, p, dh).transpose(0, 2, 1, 3, 4)
+        return merge_heads(out.reshape(n, h_heads, p, dh))
+
 
 class AttentionOutput(nn.Module):
     """dense -> dropout -> LayerNorm(residual) (roberta.py:129-140)."""
@@ -162,15 +178,19 @@ class DecoderLayer(nn.Module):
     # ---- cached decode paths -------------------------------------------
     def prefill(self, hidden: jax.Array, attention_mask: jax.Array,
                 cross_k: Optional[jax.Array], cross_v: Optional[jax.Array],
-                max_len: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+                max_len: int, beams: int = 1
+                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Full pass over the prompt; returns (hidden, k_cache, v_cache) with
-        the prompt K/V written at positions [0, L) of a (B,H,max_len,Dh) buffer."""
+        the prompt K/V written at positions [0, L) of a (B,H,max_len,Dh)
+        buffer. hidden may be beam-tiled (B*beams rows) while cross K/V stay
+        per-sample (B rows)."""
         q = self.self_attn.project_q(hidden)
         k, v = self.self_attn.project_kv(hidden)
         h = merge_heads(attention(q, k, v, attention_mask, causal=True))
         hidden = self.self_out(h, hidden)
         if self.with_cross:
-            h = self.cross_attn.attend(hidden, cross_k, cross_v, None)
+            h = self.cross_attn.attend_grouped(hidden, cross_k, cross_v,
+                                               beams)
             hidden = self.cross_out(h, hidden)
             hidden = self.adaptor(hidden)
         hidden = self.mlp(hidden)
@@ -181,8 +201,8 @@ class DecoderLayer(nn.Module):
     def decode_step(self, hidden: jax.Array, index: jax.Array,
                     k_cache: jax.Array, v_cache: jax.Array,
                     key_mask_bias: jax.Array,
-                    cross_k: Optional[jax.Array], cross_v: Optional[jax.Array]
-                    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+                    cross_k: Optional[jax.Array], cross_v: Optional[jax.Array],
+                    beams: int = 1) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """One-token step: write K/V at `index`, attend over the whole cache."""
         k_new, v_new = self.self_attn.project_kv(hidden)  # (B,H,1,Dh)
         k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, index, axis=2)
@@ -190,7 +210,8 @@ class DecoderLayer(nn.Module):
         h = self.self_attn.attend(hidden, k_cache, v_cache, key_mask_bias)
         hidden = self.self_out(h, hidden)
         if self.with_cross:
-            h = self.cross_attn.attend(hidden, cross_k, cross_v, None)
+            h = self.cross_attn.attend_grouped(hidden, cross_k, cross_v,
+                                               beams)
             hidden = self.cross_out(h, hidden)
             hidden = self.adaptor(hidden)
         return self.mlp(hidden), k_cache, v_cache
@@ -299,8 +320,9 @@ class RobertaCausalDecoder(nn.Module):
 
         For beam search, pass the UNTILED encoder states (B, L, D) with
         beams=K while input_ids/attention_mask are beam-tiled (B*K rows):
-        cross-attention K/V are projected once per sample and repeated —
-        they are identical across beams and never reordered."""
+        cross-attention K/V are projected and cached once per sample — the
+        beams of a sample attend the shared tensors (attend_grouped), so the
+        cache is K-times smaller and never reordered."""
         c = self.cfg
         position_ids = create_position_ids(input_ids, attention_mask, c.pad_token_id)
         hidden = self.embeddings(input_ids, position_ids)
@@ -309,12 +331,10 @@ class RobertaCausalDecoder(nn.Module):
         ks, vs, cks, cvs = [], [], [], []
         for layer in self.layers:
             ck, cv = layer.project_cross_kv(enc)
-            if beams > 1:
-                ck = jnp.repeat(ck, beams, axis=0)
-                cv = jnp.repeat(cv, beams, axis=0)
             cks.append(ck)
             cvs.append(cv)
-            hidden, k, v = layer.prefill(hidden, attention_mask, ck, cv, max_len)
+            hidden, k, v = layer.prefill(hidden, attention_mask, ck, cv,
+                                         max_len, beams)
             ks.append(k)
             vs.append(v)
         hidden, k, v = self.output_layer.prefill(hidden, attention_mask, None, None, max_len)
@@ -330,13 +350,14 @@ class RobertaCausalDecoder(nn.Module):
 
     def decode_step(self, token_ids: jax.Array, index: jax.Array,
                     position_ids: jax.Array, key_mask: jax.Array,
-                    cache: Cache) -> Tuple[jax.Array, Cache]:
+                    cache: Cache, beams: int = 1) -> Tuple[jax.Array, Cache]:
         """One decode step.
 
-        token_ids: (B,) current tokens; index: scalar write position;
-        position_ids: (B,) RoBERTa position ids for these tokens;
-        key_mask: (B, max_len) {0,1} validity of every cache slot (after this
-        token is written). Returns (next-token logits (B, V), updated cache)."""
+        token_ids: (B*beams,) current tokens; index: scalar write position;
+        position_ids: RoBERTa position ids for these tokens; key_mask:
+        (B*beams, max_len) {0,1} validity of every cache slot (after this
+        token is written). The cached cross K/V are per-sample (B rows).
+        Returns (next-token logits, updated cache)."""
         hidden = self.embeddings(token_ids[:, None], position_ids[:, None])
         key_bias = ((1.0 - key_mask.astype(jnp.float32)) * NEG_INF)[:, None, None, :]
 
@@ -344,7 +365,7 @@ class RobertaCausalDecoder(nn.Module):
         for i, layer in enumerate(self.layers):
             hidden, k, v = layer.decode_step(
                 hidden, index, cache["self_k"][i], cache["self_v"][i],
-                key_bias, cache["cross_k"][i], cache["cross_v"][i])
+                key_bias, cache["cross_k"][i], cache["cross_v"][i], beams)
             new_k.append(k)
             new_v.append(v)
         hidden, k, v = self.output_layer.decode_step(
