@@ -72,26 +72,83 @@ def _fsdp_spec(path: str, x: Any, mesh: Mesh,
     return P()
 
 
+# parameters whose LAST dim is a tensor-parallel "expand" dim (attention
+# head projections, MLP up-projections): shard out-features on 'model'
+_TP_COL_PARENTS = ("q_proj", "k_proj", "v_proj", "query", "key", "value",
+                   "c_fc", "intermediate", "down_proj")
+# parameters whose FIRST dim contracts a TP-sharded activation (attention
+# output / MLP down-projections): shard in-features on 'model'
+_TP_ROW_PARENTS = ("out_proj", "c_proj", "up_proj")
+
+
+def _tp_spec(path_parts, x, mesh: Mesh) -> P:
+    """Megatron-style TP spec for the ViT/decoder transformer blocks.
+
+    The reference has no tensor parallelism at all (SURVEY.md P4); this is
+    an optional 'model'-axis extension: column-parallel qkv/up projections,
+    row-parallel output/down projections; XLA (GSPMD) inserts the psums."""
+    n = mesh.shape["model"]
+    shape = np.shape(x)
+    if n == 1 or len(shape) < 2:
+        return P()
+    parent = path_parts[-2] if len(path_parts) >= 2 else ""
+    leaf = path_parts[-1]
+    if leaf != "kernel":
+        return P()
+    if parent in _TP_COL_PARENTS and shape[-1] % n == 0:
+        return P(*([None] * (len(shape) - 1)), "model")
+    if parent in _TP_ROW_PARENTS and shape[0] % n == 0:
+        return P("model", *([None] * (len(shape) - 1)))
+    return P()
+
+
+def _merge_specs(a: P, b: P, ndim: int) -> P:
+    out = []
+    for i in range(ndim):
+        ax = None
+        for spec in (a, b):
+            if i < len(spec) and spec[i] is not None:
+                ax = spec[i] if ax is None else (*_tuple(ax), *_tuple(spec[i]))
+        out.append(ax)
+    return P(*out)
+
+
+def _tuple(x):
+    return x if isinstance(x, tuple) else (x,)
+
+
 def param_shardings(params: Any, mesh: Mesh, fsdp: bool = False,
-                    min_size: int = _FSDP_MIN_SIZE) -> Any:
+                    tp: bool = False, min_size: int = _FSDP_MIN_SIZE) -> Any:
     """Pytree of NamedShardings for a param/opt-state tree.
 
-    fsdp=False -> fully replicated (plain DP; grads psum'd by GSPMD).
-    fsdp=True  -> ZeRO-3-style: tensors >= min_size sharded along 'data'."""
-    if not fsdp:
-        return jax.tree.map(lambda x: replicate_sharding(mesh), params)
-
+    fsdp=False, tp=False -> fully replicated (plain DP; grads psum'd by GSPMD)
+    fsdp=True            -> ZeRO-3: tensors >= min_size sharded along 'data'
+    tp=True              -> Megatron-style column/row sharding on 'model'
+    Both may combine (2-D sharding); FSDP skips dims taken by TP."""
     def to_sharding(path, x):
-        return NamedSharding(
-            mesh, _fsdp_spec(jax.tree_util.keystr(path), x, mesh, min_size))
+        parts = tuple(p.key if hasattr(p, "key") else str(p) for p in path)
+        spec = P()
+        if tp:
+            spec = _tp_spec(parts, x, mesh)
+        if fsdp:
+            fspec = _fsdp_spec(jax.tree_util.keystr(path), x, mesh, min_size)
+            # avoid double-assigning a dim already sharded by TP
+            used = {i for i, s in enumerate(spec) if s is not None}
+            fspec = P(*[s if i not in used else None
+                        for i, s in enumerate(
+                            list(fspec) + [None] * (np.ndim(x) - len(fspec)))])
+            spec = _merge_specs(spec, fspec, np.ndim(x))
+        return NamedSharding(mesh, spec)
 
+    if not fsdp and not tp:
+        return jax.tree.map(lambda x: replicate_sharding(mesh), params)
     return jax.tree_util.tree_map_with_path(to_sharding, params)
 
 
 def shard_params(params: Any, mesh: Mesh, fsdp: bool = False,
-                 min_size: int = _FSDP_MIN_SIZE) -> Any:
+                 tp: bool = False, min_size: int = _FSDP_MIN_SIZE) -> Any:
     """Device-put params with the chosen sharding."""
-    sh = param_shardings(params, mesh, fsdp=fsdp, min_size=min_size)
+    sh = param_shardings(params, mesh, fsdp=fsdp, tp=tp, min_size=min_size)
     return jax.tree.map(jax.device_put, params, sh)
 
 
