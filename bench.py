@@ -231,6 +231,7 @@ def main():
 
     vs = None
     if not args.skip_baseline:
+      try:  # never lose the headline metric to a baseline failure
         def reference_pattern(variables, experts, key):
             """Cache-less decode: full decoder fwd at every grown length
             (the reference's exact per-step compute), beam-tiled x3."""
@@ -263,6 +264,9 @@ def main():
                                jnp.int32(r + 7))
             btimes.append(t)
         vs = min(btimes) / t_cached
+      except Exception as e:
+        print(f"# baseline failed: {e}", file=sys.stderr, flush=True)
+        vs = None
 
     print(json.dumps({
         "metric": "prismer_base_caption_beam3_480px_images_per_sec_per_chip",
