@@ -19,7 +19,10 @@ back at original resolution. Per-task post-processing:
   obj_detection — occlusion-ordered instance mask + instance->class JSON
            using the depth expert's output (generate_objdet.py:44-91);
            ordering helper lives in experts/objdet_postprocess.py
-  ocr_detection / seg — pending their model ports
+  seg_coco / seg_ade — per-pixel argmax of Mask2Former semantic logits,
+           nearest resize, grayscale id PNG (generate_segmentation.py:41-55)
+  ocr_detection — CharNet word polygons -> id mask + per-word CLIP(PCA)
+           64-d feature sidecar .npz (generate_ocrdet.py:47-90)
 
 Multi-process sharding: shard the file list by process id, exactly like the
 reference's accelerate data sharding (P9 in SURVEY.md §2).

@@ -43,11 +43,27 @@ def _weights_dir() -> str:
 
 
 def _load_torch_ckpt(task: str):
+    """Load the reference checkpoint file for `task`, or None (with a loud
+    warning) when absent. Handles both torch serialization (.pt/.pth) and
+    detectron2 raw-pickle .pkl (plain `pickle.dump` of {'model': {key:
+    np.ndarray}, '__author__': ...} — NOT a torch zipfile, so torch.load
+    can't ingest it; reference layout at experts/model_bank.py:26-85)."""
     path = os.path.join(_weights_dir(), WEIGHTS[task])
     if not os.path.exists(path):
+        import warnings
+        warnings.warn(
+            f"[prismer_tpu] expert '{task}': checkpoint {path} not found — "
+            f"running with RANDOM weights; generated labels will be noise. "
+            f"Provide the file (see convert/cli.py docstring) or set "
+            f"PRISMER_EXPERT_WEIGHTS.", stacklevel=2)
         return None
-    import torch
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if path.endswith(".pkl"):
+        import pickle
+        with open(path, "rb") as f:
+            sd = pickle.load(f, encoding="latin1")
+    else:
+        import torch
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
         sd = sd["model"]
     if isinstance(sd, dict) and "state_dict" in sd:
@@ -111,10 +127,11 @@ def load_expert_model(task: str, image_size: int = 480
                                                  (1.0, 1.0, 1.0))
 
     if task in ("seg_coco", "seg_ade"):
+        from prismer_tpu.convert.experts import convert_mask2former
         from prismer_tpu.experts.segmentation.mask2former import MaskFormer
         model = MaskFormer(num_classes=133 if task == "seg_coco" else 150)
-        variables = _init_fresh(model, (1, image_size, image_size, 3))
-        # TODO(weights): Swin-L + Mask2Former pickle converter (round 2)
+        variables = _init_or_convert(model, convert_mask2former, task,
+                                     (1, image_size, image_size, 3))
         apply_fn = jax.jit(lambda v, x: model.apply(v, x))
         # detectron2 pixel stats (config PIXEL_MEAN/STD over 255)
         mean = np.array([123.675, 116.28, 103.53], np.float32) / 255.0
@@ -122,17 +139,23 @@ def load_expert_model(task: str, image_size: int = 480
         return apply_fn, variables, _resize_norm(image_size, mean, std)
 
     if task == "obj_detection":
+        from prismer_tpu.convert.experts import convert_unidet
         from prismer_tpu.experts.obj_detection.rcnn import UniDet
         model = UniDet()
         variables = _init_unidet(model, image_size)
+        sd = _load_torch_ckpt(task)
+        if sd is not None:
+            variables = _merge_converted(variables, convert_unidet(sd))
         mean = np.array([123.68, 116.779, 103.939], np.float32) / 255.0
         std = np.array([58.393, 57.12, 57.375], np.float32) / 255.0
         return model, variables, _resize_norm(image_size, mean, std)
 
     if task == "ocr_detection":
+        from prismer_tpu.convert.experts import convert_charnet
         from prismer_tpu.experts.ocr_detection.model import CharNet
         model = CharNet()
-        variables = _init_fresh(model, (1, image_size, image_size, 3))
+        variables = _init_or_convert(model, convert_charnet, task,
+                                     (1, image_size, image_size, 3))
         apply_fn = jax.jit(lambda v, x: model.apply(v, x))
         return apply_fn, variables, _resize_norm(image_size, IMAGENET_MEAN,
                                                  IMAGENET_STD)
@@ -169,14 +192,17 @@ def _init_unidet(model, image_size: int) -> Dict[str, Any]:
 
 def _init_or_convert(model, converter, task: str, input_shape) -> Dict[str, Any]:
     sd = _load_torch_ckpt(task)
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        variables = model.init(jax.random.key(0),
-                               jnp.zeros(input_shape, jnp.float32))
+    variables = _init_fresh(model, input_shape)
     if sd is None:
         return variables
+    return _merge_converted(variables, converter(sd))
+
+
+def _merge_converted(variables: Dict[str, Any],
+                     tree: Dict[str, Any]) -> Dict[str, Any]:
+    """Overlay a converted torch tree onto freshly-initialized variables
+    (strict on shape mismatch, lenient on keys the converter doesn't cover)."""
     from prismer_tpu.convert.torch_to_jax import merge_params
-    tree = converter(sd)
     out = {"params": merge_params(variables["params"], tree["params"])}
     if "batch_stats" in variables:
         stats = variables["batch_stats"]

@@ -59,11 +59,11 @@ def decoder_mask_bias(attention_mask: jax.Array) -> jax.Array:
 class SelfAttentionCore(nn.Module):
     """q/k/v projections + fp32-softmax attention (roberta.py:79-126).
 
-    kv_dim lets cross-attention project keys/values from the vision width.
-    Exposes separate q / kv paths so the KV cache can be maintained outside."""
+    For cross-attention the K/V source is the vision width — flax Dense
+    infers the input dim, so no explicit kv_dim is needed. Exposes separate
+    q / kv paths so the KV cache can be maintained outside."""
 
     cfg: TextDecoderConfig
-    kv_dim: Optional[int] = None
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -158,8 +158,7 @@ class DecoderLayer(nn.Module):
         self.self_attn = SelfAttentionCore(self.cfg, dtype=self.dtype)
         self.self_out = AttentionOutput(self.cfg, dtype=self.dtype)
         if self.with_cross:
-            self.cross_attn = SelfAttentionCore(
-                self.cfg, kv_dim=self.cfg.vision_hidden_size, dtype=self.dtype)
+            self.cross_attn = SelfAttentionCore(self.cfg, dtype=self.dtype)
             self.cross_out = AttentionOutput(self.cfg, dtype=self.dtype)
             self.adaptor = Adaptor(norm_late=True, dtype=self.dtype)
         self.mlp = FeedForward(self.cfg, dtype=self.dtype)
