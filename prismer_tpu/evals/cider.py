@@ -12,22 +12,19 @@ natively, following the CIDEr-D definition used by the COCO server
   * per-n cosine similarity x length penalty exp(-(lc-lr)^2 / (2*sigma^2)),
     sigma=6; averaged over refs, over n, x10
 
-Tokenization: lowercase, strip punctuation, whitespace split — a stand-in
-for the Java PTBTokenizer (documented deviation; fine for relative model
-comparison and best-checkpoint gating, train_caption.py:162-176)."""
+Tokenization: evals/tokenizer.py's PTB replica of pycocoevalcap's
+PTBTokenizer pipeline (treebank split -> lowercase -> punctuation-token
+removal); the residual delta vs the round-1 strip-punctuation tokenizer is
+bounded by a fixture test (tests/test_evals.py), so the best-checkpoint
+gating error (train_caption.py:162-176) is quantified."""
 
 from __future__ import annotations
 
 import math
-import re
 from collections import Counter
-from typing import Dict, List, Sequence, Tuple
+from typing import Callable, Dict, List, Sequence, Tuple
 
-_PUNCT = re.compile(r"[^\w\s]")
-
-
-def tokenize(text: str) -> List[str]:
-    return _PUNCT.sub("", text.lower()).split()
+from prismer_tpu.evals.tokenizer import ptb_tokenize as tokenize
 
 
 def _ngrams(tokens: List[str], max_n: int = 4) -> Dict[int, Counter]:
@@ -39,18 +36,21 @@ def _ngrams(tokens: List[str], max_n: int = 4) -> Dict[int, Counter]:
 
 
 class CiderD:
-    def __init__(self, max_n: int = 4, sigma: float = 6.0):
+    def __init__(self, max_n: int = 4, sigma: float = 6.0,
+                 tokenizer: Callable[[str], List[str]] = tokenize):
         self.max_n = max_n
         self.sigma = sigma
+        self.tokenizer = tokenizer
 
     def compute(self, candidates: Dict[str, str],
                 references: Dict[str, Sequence[str]]) -> Tuple[float, Dict[str, float]]:
         """candidates: {image_id: caption}; references: {image_id: [refs]}.
         Returns (corpus score, per-image scores)."""
         ids = list(candidates.keys())
-        ref_grams = {i: [_ngrams(tokenize(r), self.max_n)
+        tok = self.tokenizer
+        ref_grams = {i: [_ngrams(tok(r), self.max_n)
                          for r in references[i]] for i in ids}
-        cand_grams = {i: _ngrams(tokenize(candidates[i]), self.max_n)
+        cand_grams = {i: _ngrams(tok(candidates[i]), self.max_n)
                       for i in ids}
 
         # document frequency over reference *images* (any ref containing g)

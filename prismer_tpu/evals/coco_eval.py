@@ -5,7 +5,9 @@ ground-truth JSON (coco_karpathy_test_gt.json) and the results list
 [{'image_id': int, 'caption': str}] that the drivers dump
 (train_caption.py:160). Uses pycocoevalcap when importable (full
 BLEU/METEOR/ROUGE/CIDEr/SPICE with the official tokenizer); otherwise falls
-back to the native CIDEr-D + BLEU scorers (no Java in this image)."""
+back to the native scorers — CIDEr-D, BLEU-1..4, ROUGE-L and METEOR-lite,
+all over the PTB-replica tokenizer (evals/tokenizer.py). SPICE (Java scene
+graphs) has no native fallback."""
 
 from __future__ import annotations
 
@@ -52,9 +54,13 @@ def coco_caption_eval(gt_json: Union[str, Dict],
 
     from prismer_tpu.evals.bleu import corpus_bleu
     from prismer_tpu.evals.cider import CiderD
+    from prismer_tpu.evals.meteor import meteor
+    from prismer_tpu.evals.rouge import rouge_l
     cider, _ = CiderD().compute(cands, refs)
     bleu = corpus_bleu(cands, refs)
     out = {"CIDEr": cider}
     for n, b in enumerate(bleu, start=1):
         out[f"Bleu_{n}"] = b
+    out["ROUGE_L"], _ = rouge_l(cands, refs)
+    out["METEOR"], _ = meteor(cands, refs)  # METEOR-lite (see evals/meteor.py)
     return out
