@@ -85,7 +85,13 @@ def _load_ocr_sidecar(path: str):
     are .npz. Support both."""
     if path.endswith(".npz") or _is_npz(path):
         z = np.load(path, allow_pickle=True)
-        return {int(k): {"features": z[k]} for k in z.files}
+        out: Dict[int, Dict[str, Any]] = {}
+        for k in z.files:
+            if k.startswith("text_"):
+                out.setdefault(int(k[5:]), {})["text"] = str(z[k])
+            else:
+                out.setdefault(int(k), {})["features"] = z[k]
+        return out
     import torch
     return torch.load(path, map_location="cpu", weights_only=False)
 

@@ -112,3 +112,52 @@ def convert_clip_text(sd: Dict[str, Any]) -> Dict[str, Any]:
         }
         i += 1
     return {"params": P}
+
+
+# ---------------------------------------------------------------------------
+# generation-time word embedding (reference: generate_ocrdet.py:43,80-84)
+# ---------------------------------------------------------------------------
+
+CLIP_TEXT_WEIGHTS = "clip_text_vit_l14.npz"   # convert.cli --kind clip_text
+CLIP_BPE_VOCAB = ("bpe_simple_vocab_16e6.txt.gz", "bpe_simple_vocab_16e6.txt")
+
+
+def load_clip_text(weights_dir: str = None):
+    """Returns (jitted apply_fn, variables, CLIPTokenizer) when both the
+    converted CLIP text weights and the BPE vocab file are present under the
+    expert-weights dir, else None (the OCR generator then falls back to the
+    background feature with a loud warning)."""
+    import os
+
+    weights_dir = weights_dir or os.environ.get("PRISMER_EXPERT_WEIGHTS",
+                                                "experts/expert_weights")
+    wpath = os.path.join(weights_dir, CLIP_TEXT_WEIGHTS)
+    vpath = next((os.path.join(weights_dir, v) for v in CLIP_BPE_VOCAB
+                  if os.path.exists(os.path.join(weights_dir, v))), None)
+    if not os.path.exists(wpath) or vpath is None:
+        return None
+
+    from prismer_tpu.tokenizer import CLIPTokenizer
+    from prismer_tpu.train.checkpoint import load_params_npz
+
+    tree = load_params_npz(wpath)
+    params = tree.get("params", tree)
+    tok = CLIPTokenizer.from_file(vpath)
+    width = params["token_embedding"].shape[1]
+    layers = sum(1 for k in params if k.startswith("block_"))
+    model = CLIPTextEncoder(vocab_size=params["token_embedding"].shape[0],
+                            width=width, layers=layers,
+                            heads=max(width // 64, 1))
+    variables = {"params": jax.tree.map(jnp.asarray, params)}
+    apply_fn = jax.jit(lambda v, ids: model.apply(v, ids))
+    return apply_fn, variables, tok
+
+
+def embed_words(words, clip_ctx, tables) -> np.ndarray:
+    """words -> (N, 64) PCA'd CLIP text features, the exact generation-time
+    pipeline of the reference (clip.tokenize -> encode_text -> pca.transform,
+    generate_ocrdet.py:80-84)."""
+    apply_fn, variables, tok = clip_ctx
+    ids = tok([w.lower() for w in words])
+    emb = np.asarray(apply_fn(variables, jnp.asarray(ids)), np.float32)
+    return tables.pca_project(emb)

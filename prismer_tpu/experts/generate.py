@@ -198,18 +198,31 @@ def run_objdet(args):
 
 
 def run_ocr(args):
-    """Word polygons -> id mask + per-word CLIP(PCA) feature sidecar
-    (generate_ocrdet.py:47-90). Without converted CLIP weights the features
-    fall back to the background vector (documented round-2 item)."""
+    """Word polygons -> id mask + per-word CLIP(PCA) feature sidecar, the
+    reference's exact generation-time pipeline (generate_ocrdet.py:47-90):
+    recognized text -> CLIP text encoder -> sklearn-PCA 768->64. When the
+    converted CLIP text weights / BPE vocab are absent the features fall
+    back to the background vector with a loud warning."""
+    import warnings
+
     import jax.numpy as jnp
 
     from prismer_tpu.data.features import get_feature_tables
+    from prismer_tpu.experts.clip_text import embed_words, load_clip_text
     from prismer_tpu.experts.ocr_detection.postprocess import \
         OrientedTextPostProcessing
 
     apply_fn, variables, preprocess = load_expert_model("ocr_detection")
     post = OrientedTextPostProcessing()
     tables = get_feature_tables()
+    clip_ctx = load_clip_text()
+    if clip_ctx is None:
+        warnings.warn(
+            "[prismer_tpu] OCR word features: converted CLIP text weights "
+            "or BPE vocab not found under PRISMER_EXPERT_WEIGHTS — sidecars "
+            "will carry the background vector instead of CLIP+PCA "
+            "embeddings (generate_ocrdet.py:80-84 semantics disabled).",
+            stacklevel=1)
     save_root = os.path.join(args.save_path, "ocr_detection")
     files = list_images(args.data_path)[args.shard_id::args.num_shards]
     size = 480
@@ -223,18 +236,26 @@ def run_ocr(args):
         if not words:
             continue
         mask = np.full((h0, w0), 255, np.uint8)
-        feats = {}
+        texts = []
         for i, wd in enumerate(reversed(words)):  # reference stamps reversed
             poly = np.asarray(wd.word_bbox, np.float32).reshape(4, 2)
             _fill_polygon(mask, poly, i)
-            feats[str(i)] = tables.background  # CLIP+PCA embed: round 2
+            texts.append(wd.text.lower())  # get_label (generate_ocrdet.py:54)
+        if clip_ctx is not None:
+            word_feats = embed_words(texts, clip_ctx, tables)
+        else:
+            word_feats = np.tile(tables.background, (len(texts), 1))
+        sidecar = {}
+        for i, text in enumerate(texts):
+            sidecar[str(i)] = word_feats[i].astype(np.float32)
+            sidecar[f"text_{i}"] = np.array(text)
         rel_dir, fname = save_rel_path(p)
         os.makedirs(os.path.join(save_root, rel_dir), exist_ok=True)
         Image.fromarray(mask, "L").save(
             os.path.join(save_root, rel_dir, fname))
         with open(os.path.join(save_root, rel_dir,
                                fname.replace(".png", ".pt")), "wb") as f:
-            np.savez(f, **feats)
+            np.savez(f, **sidecar)
         print(f"[ocr_detection] {p}", flush=True)
 
 

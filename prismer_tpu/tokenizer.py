@@ -255,3 +255,103 @@ def synthetic_tokenizer(vocab_size: int = 512) -> BPETokenizer:
     kept = [m for m in merges if m[0] in vocab and m[1] in vocab
             and (m[0] + m[1]) in vocab]
     return BPETokenizer(vocab, kept)
+
+
+# ---------------------------------------------------------------------------
+# CLIP text tokenizer (OpenAI SimpleTokenizer replica)
+# ---------------------------------------------------------------------------
+
+_CLIP_PAT = re.compile(
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+    r"|[^\W\d_]+|\d|[^\s\w]+|_+", re.IGNORECASE)
+
+
+class CLIPTokenizer:
+    """OpenAI CLIP's SimpleTokenizer (clip/simple_tokenizer.py), used by the
+    reference at OCR-generation time (experts/generate_ocrdet.py:80
+    clip.tokenize(word_lists)): byte->unicode map, BPE with word-final
+    '</w>' marker, vocab = 256 bytes + 256 byte+'</w>' + one token per merge
+    + <|startoftext|>/<|endoftext|>; context 77, zero-padded.
+
+    The merges come from the user-supplied bpe_simple_vocab_16e6.txt(.gz)
+    (zero-egress env); `synthetic_clip_tokenizer` builds a tiny test stand-in
+    with the same mechanics."""
+
+    def __init__(self, merges: List[Tuple[str, str]], context: int = 77):
+        self.byte_encoder = bytes_to_unicode()
+        vocab = list(self.byte_encoder.values())
+        vocab += [v + "</w>" for v in vocab]
+        vocab += ["".join(m) for m in merges]
+        vocab += ["<|startoftext|>", "<|endoftext|>"]
+        self.encoder = {t: i for i, t in enumerate(vocab)}
+        self.bpe_ranks = {m: i for i, m in enumerate(merges)}
+        self.context = context
+        self.sot = self.encoder["<|startoftext|>"]
+        self.eot = self.encoder["<|endoftext|>"]
+        self.vocab_size = len(vocab)
+        self._cache: Dict[str, List[str]] = {}
+
+    @classmethod
+    def from_file(cls, path: str, context: int = 77) -> "CLIPTokenizer":
+        """bpe_simple_vocab_16e6.txt(.gz): first line is a version header;
+        CLIP reads merges[1 : 49152 - 256 - 2 + 1]."""
+        import gzip
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt", encoding="utf-8") as f:
+            lines = f.read().split("\n")
+        lines = lines[1: 49152 - 256 - 2 + 1]
+        merges = [tuple(line.split()) for line in lines if line.strip()]
+        return cls(merges, context)
+
+    def _bpe(self, token: str) -> List[str]:
+        if token in self._cache:
+            return self._cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        while len(word) > 1:
+            pairs = set(zip(word[:-1], word[1:]))
+            best = min(pairs, key=lambda p: self.bpe_ranks.get(p, 1 << 30))
+            if best not in self.bpe_ranks:
+                break
+            first, second = best
+            out: List[str] = []
+            i = 0
+            while i < len(word):
+                if (i < len(word) - 1 and word[i] == first
+                        and word[i + 1] == second):
+                    out.append(first + second)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            word = tuple(out)
+        res = list(word)
+        self._cache[token] = res
+        return res
+
+    def encode(self, text: str) -> List[int]:
+        import html
+        text = html.unescape(html.unescape(text))
+        text = re.sub(r"\s+", " ", text).strip().lower()
+        ids: List[int] = []
+        for tok in _CLIP_PAT.findall(text):
+            mapped = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+            ids.extend(self.encoder[t] for t in self._bpe(mapped))
+        return ids
+
+    def __call__(self, texts: Sequence[str]) -> np.ndarray:
+        """clip.tokenize semantics: (N, 77) int32, <sot> ids <eot>, 0-pad;
+        over-long inputs truncated (eot kept)."""
+        out = np.zeros((len(texts), self.context), np.int32)
+        for i, t in enumerate(texts):
+            ids = [self.sot] + self.encode(t)[: self.context - 2] + [self.eot]
+            out[i, : len(ids)] = ids
+        return out
+
+
+def synthetic_clip_tokenizer(context: int = 77) -> CLIPTokenizer:
+    """Tiny deterministic CLIP-style tokenizer for tests (same mechanics,
+    handful of merges)."""
+    merges = [("t", "h"), ("th", "e</w>"), ("a", "n"), ("an", "d</w>"),
+              ("i", "n"), ("o", "n</w>"), ("e", "r</w>"), ("s", "t"),
+              ("c", "a"), ("ca", "t</w>"), ("d", "o"), ("do", "g</w>")]
+    return CLIPTokenizer(merges, context)

@@ -77,3 +77,17 @@ def save_params_npz(path: str, params: Any) -> None:
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     arrays = {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
     np.savez(path, **arrays)
+
+
+def load_params_npz(path: str) -> Any:
+    """Inverse of save_params_npz: flat keystr paths -> nested dict tree."""
+    import re
+    z = np.load(path)
+    tree: Any = {}
+    for key in z.files:
+        parts = re.findall(r"\['([^']*)'\]", key)
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = z[key]
+    return tree
