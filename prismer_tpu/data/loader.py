@@ -1,20 +1,42 @@
-"""Threaded prefetching data loader.
+"""Prefetching data loader (thread or forked-process workers).
 
 Replaces torch DataLoader (dataset/__init__.py:36-43: shuffle+drop_last in
-train, 8 workers). Decode/augment is PIL+numpy (releases the GIL for the
-heavy parts); batches are collated to contiguous numpy arrays ready for a
-single device_put. Per-process sharding (`shard_id`/`num_shards`) replaces
+train, 8 workers). Decode/augment is PIL+numpy; PIL releases the GIL for
+the pixel work, so thread workers scale partially — `worker_type="process"`
+forks worker processes (torch-DataLoader-style) for full multi-core scaling
+of the Python-side transform glue. Measured cost of the full 6-expert 480px
+record (decode + joint Transform/RandAugment + tensorize): ~70 ms/core
+=> ~14 records/sec/core (tools/bench_input_pipeline.py), i.e. one chip's
+appetite (~190 img/s, BENCH) needs ~14 cores of workers.
+
+Batches are collated to contiguous numpy arrays ready for a single
+device_put. Per-process sharding (`shard_id`/`num_shards`) replaces
 accelerate's injected DistributedSampler for multi-host runs.
+
+Fork safety: workers must not touch jax/TPU state — they only run
+PIL/numpy; the parent keeps the device runtime.
 """
 
 from __future__ import annotations
 
+import multiprocessing
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Dict, Iterator, List, Optional
 
 import numpy as np
+
+_WORKER_DS = None
+
+
+def _proc_init(dataset):
+    global _WORKER_DS
+    _WORKER_DS = dataset
+
+
+def _proc_get(index):
+    return _WORKER_DS[index]
 
 
 def default_collate(records: List[Dict[str, Any]]) -> Dict[str, Any]:
@@ -40,7 +62,8 @@ class DataLoader:
                  num_workers: int = 8, seed: int = 42,
                  shard_id: int = 0, num_shards: int = 1,
                  collate_fn: Optional[Callable] = None,
-                 prefetch: int = 4, drop_last: Optional[bool] = None):
+                 prefetch: int = 4, drop_last: Optional[bool] = None,
+                 worker_type: str = "thread"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.train = train
@@ -51,6 +74,8 @@ class DataLoader:
         self.collate = collate_fn or default_collate
         self.prefetch = prefetch
         self.drop_last = train if drop_last is None else drop_last
+        assert worker_type in ("thread", "process"), worker_type
+        self.worker_type = worker_type
         self.epoch = 0
 
     def _indices(self) -> np.ndarray:
@@ -79,13 +104,24 @@ class DataLoader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            if self.worker_type == "process":
+                ctx = multiprocessing.get_context("fork")
+                pool = ctx.Pool(self.num_workers, initializer=_proc_init,
+                                initargs=(self.dataset,))
+                get, close = pool.map, pool.terminate
+                fn = _proc_get
+            else:
+                pool = ThreadPoolExecutor(self.num_workers)
+                get, close = pool.map, lambda: pool.shutdown(wait=False)
+                fn = self.dataset.__getitem__
+            try:
                 for batch_idx in batches:
                     if stop.is_set():
                         return
-                    records = list(pool.map(self.dataset.__getitem__,
-                                            batch_idx))
+                    records = list(get(fn, list(batch_idx)))
                     q.put(self.collate(records))
+            finally:
+                close()
             q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)

@@ -72,13 +72,14 @@ def _load_torch_ckpt(task: str):
 
 
 def _resize_norm(size: int, mean, std) -> Callable[[Image.Image], np.ndarray]:
-    mean = np.asarray(mean, np.float32)
-    std = np.asarray(std, np.float32)
+    mean = np.broadcast_to(np.asarray(mean, np.float32), (3,))
+    std = np.broadcast_to(np.asarray(std, np.float32), (3,))
 
     def fn(img: Image.Image) -> np.ndarray:
-        # opt-in native fast path (C++ libjpeg decode + fused resize/norm;
-        # non-antialiased bilinear — tiny numeric delta vs PIL's filter)
-        if os.environ.get("PRISMER_NATIVE_LOADER") == "1":
+        # native fast path, DEFAULT ON where built (C++ libjpeg decode +
+        # fused resize/norm; non-antialiased bilinear — tiny numeric delta
+        # vs PIL's filter). Opt out with PRISMER_NATIVE_LOADER=0.
+        if os.environ.get("PRISMER_NATIVE_LOADER", "1") != "0":
             from prismer_tpu import native
             path = getattr(img, "filename", "")
             if native.is_available() and path.lower().endswith((".jpg",

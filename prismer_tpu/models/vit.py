@@ -126,9 +126,11 @@ class VisionTransformer(nn.Module):
             if exp not in inputs:
                 raise KeyError(f"missing modality input: {exp}")
             if exp == "rgb":
+                # padding VALID: torch Conv2d semantics (vit.py:86) — at
+                # ViT-L/14 x 480px this is 34x34 tokens, not SAME's 35x35
                 x = nn.Conv(width, kernel_size=(cfg.patch_size, cfg.patch_size),
                             strides=(cfg.patch_size, cfg.patch_size),
-                            use_bias=False, dtype=self.dtype,
+                            padding="VALID", use_bias=False, dtype=self.dtype,
                             name="conv1_rgb")(inputs[exp].astype(self.dtype))
             elif exp in ID_MAP_EXPERTS:
                 raw = inputs[exp]["label"] if exp == "obj_detection" else inputs[exp]

@@ -56,15 +56,19 @@ _FSDP_MIN_SIZE = 2 ** 16  # replicate anything smaller (LN scales, biases)
 
 
 def _fsdp_spec(path: str, x: Any, mesh: Mesh,
-               min_size: int = _FSDP_MIN_SIZE) -> P:
+               min_size: int = _FSDP_MIN_SIZE, exclude=()) -> P:
     n = mesh.shape["data"]
     shape = np.shape(x)
     if np.prod(shape, dtype=np.int64) < min_size or not shape:
         return P()
     # shard the largest divisible dim on 'data' (ZeRO-3 analog of the
-    # reference's per-layer FULL_SHARD wrap policy, train_caption.py:68-91)
+    # reference's per-layer FULL_SHARD wrap policy, train_caption.py:68-91);
+    # dims in `exclude` already carry the TP 'model' axis — pick another so
+    # the leaf is sharded n_data x n_model ways, not just n_model
     order = np.argsort(shape)[::-1]
     for d in order:
+        if d in exclude:
+            continue
         if shape[d] % n == 0:
             spec = [None] * len(shape)
             spec[d] = "data"
@@ -131,12 +135,9 @@ def param_shardings(params: Any, mesh: Mesh, fsdp: bool = False,
         if tp:
             spec = _tp_spec(parts, x, mesh)
         if fsdp:
-            fspec = _fsdp_spec(jax.tree_util.keystr(path), x, mesh, min_size)
-            # avoid double-assigning a dim already sharded by TP
             used = {i for i, s in enumerate(spec) if s is not None}
-            fspec = P(*[s if i not in used else None
-                        for i, s in enumerate(
-                            list(fspec) + [None] * (np.ndim(x) - len(fspec)))])
+            fspec = _fsdp_spec(jax.tree_util.keystr(path), x, mesh, min_size,
+                               exclude=used)
             spec = _merge_specs(spec, fspec, np.ndim(x))
         return NamedSharding(mesh, spec)
 

@@ -219,3 +219,24 @@ def test_caption_demo_dataset_end_to_end(demo_tree):
         for k, v in batch["experts"].items()})
     assert dev["seg"].shape == (2, 224, 224, 64)
     assert dev["obj_detection"]["label"].shape == (2, 224, 224, 64)
+
+
+def test_loader_process_workers_match_thread_workers():
+    """Forked-process workers produce the same batches as thread workers
+    (order, content) — the multi-core scaling path for the input pipeline."""
+    from prismer_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 9
+
+        def __getitem__(self, i):
+            return {"x": np.full((3,), i, np.float32), "name": f"r{i}"}
+
+    kw = dict(batch_size=4, train=False, num_workers=2)
+    thread_batches = list(DataLoader(DS(), worker_type="thread", **kw))
+    proc_batches = list(DataLoader(DS(), worker_type="process", **kw))
+    assert len(thread_batches) == len(proc_batches) == 3
+    for tb, pb in zip(thread_batches, proc_batches):
+        np.testing.assert_array_equal(tb["x"], pb["x"])
+        assert tb["name"] == pb["name"]
