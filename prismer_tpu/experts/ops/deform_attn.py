@@ -18,15 +18,21 @@ Bilinear sampling follows torch grid_sample(mode='bilinear',
 padding_mode='zeros', align_corners=False): src = loc * size - 0.5, out-of-
 bounds corners contribute zero.
 
-Why XLA gathers and not a Pallas kernel: the op is a data-dependent gather
-with ~zero arithmetic intensity (4 corner reads + 7 FLOPs per sample).
-Mosaic/TPU has no vectorized dynamic gather inside kernels, so a Pallas
-version must either loop scalar DMAs (latency-bound, far slower) or express
-the gather as one-hot matmuls (a (BQ*P*4, H_l*W_l) one-hot per level —
-hundreds of GFLOPs of wasted MXU work and >VMEM one-hot tiles). XLA's
-native gather lowering is the memory-bound optimum on this hardware; this
-formulation keeps everything fused in one jit program. (SURVEY.md hard-part
-#3 anticipated exactly this trade-off.)
+Two formulations exist, settled BY MEASUREMENT (SURVEY.md hard-part #3;
+tools/bench_deform_attn.py on the real chip, Mask2Former shapes — 3 levels
+60/30/15 at 480px, Lq=S=4725, 8 heads, dim 32, 4 points):
+
+    batch 1:  XLA gather 13.38 ms/call   Pallas one-hot  8.37 ms  (1.60x)
+    batch 4:  XLA gather 53.00 ms/call   Pallas one-hot 23.35 ms  (2.27x)
+
+The Pallas one-hot-matmul kernel (deform_attn_pallas.py) builds the sparse
+sampling matrix blockwise on the VPU and feeds the MXU — "wasted" dense
+FLOPs, but coalesced and compute-shaped, while XLA's gather of ~1.8M random
+rows is latency-bound. `ms_deform_attn_auto` therefore dispatches to the
+Pallas kernel on TPU; this XLA-gather formulation remains the CPU/test path
+and the differentiable path (parity + grad tests vs the torch grid_sample
+spec in tests/test_deform_attn.py; the experts run frozen, so the forward
+is all the pipeline needs).
 """
 
 from __future__ import annotations
@@ -96,3 +102,18 @@ def ms_deform_attn(value: jax.Array,
     weights = attention_weights.transpose(0, 2, 1, 3, 4)  # (N, H, Lq, L, P)
     out = jnp.einsum("nhqlpd,nhqlp->nqhd", stacked, weights)
     return out.reshape(n, lq, h * d)
+
+
+def ms_deform_attn_auto(value: jax.Array,
+                        spatial_shapes: Sequence[Tuple[int, int]],
+                        sampling_locations: jax.Array,
+                        attention_weights: jax.Array) -> jax.Array:
+    """Measured dispatch (see module docstring): Pallas one-hot kernel on
+    TPU (1.6-2.3x faster at Mask2Former shapes), XLA gather elsewhere."""
+    if jax.default_backend() == "tpu":
+        from prismer_tpu.experts.ops.deform_attn_pallas import \
+            ms_deform_attn_onehot
+        return ms_deform_attn_onehot(value, spatial_shapes,
+                                     sampling_locations, attention_weights)
+    return ms_deform_attn(value, spatial_shapes, sampling_locations,
+                          attention_weights)

@@ -20,7 +20,9 @@ off, experts/segmentation/utils.py:12-13):
   * semantic inference: softmax(cls)[:-1]^T @ sigmoid(masks)
     (maskformer_model.py:280-284)
 
-The deformable attention core is prismer_tpu.experts.ops.deform_attn (the
+The deformable attention core is ms_deform_attn_auto — the measured-fastest
+formulation per backend (Pallas one-hot on TPU, XLA gather elsewhere; see
+prismer_tpu/experts/ops/deform_attn.py for the numbers) — (the
 reference's CUDA kernel re-expressed as XLA gathers).
 """
 
@@ -34,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from prismer_tpu.experts.ops.deform_attn import ms_deform_attn
+from prismer_tpu.experts.ops.deform_attn import ms_deform_attn_auto
 from prismer_tpu.experts.segmentation.swin import SwinTransformer
 
 Dtype = Any
@@ -96,8 +98,8 @@ class MSDeformAttnLayer(nn.Module):
         locs = (reference_points[:, :, None, :, None, :]
                 + offsets.astype(jnp.float32)
                 / normalizer[None, None, None, :, None, :])
-        out = ms_deform_attn(value.astype(jnp.float32), spatial_shapes,
-                             locs, weights)
+        out = ms_deform_attn_auto(value.astype(jnp.float32),
+                                  spatial_shapes, locs, weights)
         return nn.Dense(d, dtype=self.dtype, name="output_proj")(out)
 
 
