@@ -17,9 +17,15 @@ Numerics match the model contract: softmax statistics and accumulation in
 fp32 regardless of input dtype (the fp32-softmax island of
 roberta.py:118-121), output cast back to the input dtype.
 
-Differentiable via custom_vjp: forward = Pallas kernel; backward recomputes
-with the XLA reference (correct, and training backprops through frozen
-attention only via adaptors, so the recompute cost is acceptable for now).
+Differentiable via custom_vjp with PALLAS kernels on both sides: the
+forward saves the per-row logsumexp; the backward is the standard two-kernel
+flash recurrence (Dao et al.) — a dq kernel (grid over q-blocks, loop over
+k-blocks) and a dk/dv kernel (grid over k-blocks, loop over q-blocks), both
+recomputing p = exp(s - lse) in VMEM from the saved statistics. Input
+gradients flow through attention in EVERY freeze mode (adaptors/stems sit
+below frozen attention), so the backward is on the training hot path — the
+round-1 XLA-recompute backward materialized (B, H, L, L) score tensors in
+HBM per layer per step; this one never does.
 
 Masking supports key-padding masks and causal masking without ever
 materializing (L, L) bias tensors in HBM.
@@ -56,7 +62,7 @@ def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
                   *, scale: float, block_k: int, causal: bool):
     """One (batch*head, q-block) program. k/v live fully in VMEM."""
     q = q_ref[0].astype(jnp.float32)          # (BQ, D)
@@ -106,20 +112,19 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
         acc, m, l = jax.lax.fori_loop(0, n_kb, body, (acc0, m0, l0))
 
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
 
 
-def _flash_forward(q, k, v, key_mask, causal,
-                   block_q: int = 256, block_k: int = 256,
-                   interpret: Optional[bool] = None):
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+def _block_sizes(lq: int, lk: int, block_q: int = 256, block_k: int = 256):
+    bq = min(block_q, max(8, -(-lq // 8) * 8))
+    bk = min(block_k, max(128, -(-lk // 128) * 128))
+    return bq, bk
+
+
+def _pad_inputs(q, k, v, key_mask, block_q, block_k):
+    """Pad seq lengths to block multiples; flatten (B,H) -> BH."""
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    block_q = min(block_q, max(8, -(-lq // 8) * 8))
-    block_k = min(block_k, max(128, -(-lk // 128) * 128))
-
-    # pad sequence lengths to block multiples (padded keys masked off;
-    # padded queries produce garbage rows that are sliced away)
     pq = -lq % block_q
     pk = -lk % block_k
     if key_mask is None:
@@ -131,7 +136,6 @@ def _flash_forward(q, k, v, key_mask, causal,
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pk), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pk), (0, 0)))
         key_mask = jnp.pad(key_mask, ((0, 0), (0, pk)))
-
     lq_p, lk_p = lq + pq, lk + pk
     qf = q.reshape(b * h, lq_p, d)
     kf = k.reshape(b * h, lk_p, d)
@@ -139,13 +143,26 @@ def _flash_forward(q, k, v, key_mask, causal,
     # (B*H, 1, LK): TPU block shapes constrain the last two dims, so give the
     # mask a unit row dim that the block can match exactly
     maskf = jnp.repeat(key_mask, h, axis=0)[:, None, :]
+    return qf, kf, vf, maskf, lq_p, lk_p
+
+
+def _flash_forward(q, k, v, key_mask, causal,
+                   block_q: int = 256, block_k: int = 256,
+                   interpret: Optional[bool] = None):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    block_q, block_k = _block_sizes(lq, lk, block_q, block_k)
+    qf, kf, vf, maskf, lq_p, lk_p = _pad_inputs(q, k, v, key_mask,
+                                                block_q, block_k)
 
     grid = (b * h, lq_p // block_q)
     kernel = functools.partial(
         _flash_kernel, scale=1.0 / np.sqrt(d), block_k=block_k,
         causal=causal)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -158,9 +175,16 @@ def _flash_forward(q, k, v, key_mask, causal,
             pl.BlockSpec((1, 1, lk_p), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda bh, qi: (bh, qi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, lq_p), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * lq_p * lk_p * d,
             bytes_accessed=(qf.size + kf.size + vf.size) * q.dtype.itemsize,
@@ -169,25 +193,194 @@ def _flash_forward(q, k, v, key_mask, causal,
         interpret=interpret,
     )(qf, kf, vf, maskf)
 
-    out = out.reshape(b, h, lq_p, d)
-    return out[:, :, :lq, :]
+    out = out.reshape(b, h, lq_p, d)[:, :, :lq, :]
+    return out, lse
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
+                   delta_ref, dq_ref, *, scale: float, block_k: int,
+                   causal: bool):
+    q = q_ref[0].astype(jnp.float32)           # (BQ, D)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, None]                  # (BQ, 1)
+    delta = delta_ref[0][:, None]
+    lk = k_ref.shape[1]
+    bq = q.shape[0]
+    n_kb = lk // block_k
+    q_start = pl.program_id(1) * bq
+
+    def body(kb, dq):
+        ks = kb * block_k
+        kblk = k_ref[0, pl.ds(ks, block_k), :].astype(jnp.float32)
+        vblk = v_ref[0, pl.ds(ks, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, kblk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        kmask = mask_ref[0, :, pl.ds(ks, block_k)] > 0
+        s = jnp.where(kmask, s, NEG_INF)
+        if causal:
+            rows = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 0)
+            cols = ks + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1)
+            s = jnp.where(cols <= rows, s, NEG_INF)
+        p = jnp.exp(s - lse)                                  # (BQ, BK)
+        dp = jax.lax.dot_general(do, vblk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(
+            ds, kblk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    dq0 = jnp.zeros((bq, q.shape[1]), jnp.float32)
+    last = (jnp.minimum(n_kb, pl.cdiv(q_start + bq, block_k))
+            if causal else n_kb)
+    dq = jax.lax.fori_loop(0, last, body, dq0)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
+                    delta_ref, dk_ref, dv_ref, *, scale: float,
+                    block_q: int, causal: bool):
+    kblk = k_ref[0].astype(jnp.float32)        # (BK, D)
+    vblk = v_ref[0].astype(jnp.float32)
+    kmask = mask_ref[0]                        # (1, BK)
+    lq = q_ref.shape[1]
+    bk = kblk.shape[0]
+    n_qb = lq // block_q
+    ks = pl.program_id(1) * bk
+
+    def body(qb, carry):
+        dk, dv = carry
+        qs = qb * block_q
+        q = q_ref[0, pl.ds(qs, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(qs, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(qs, block_q)][:, None]
+        delta = delta_ref[0, pl.ds(qs, block_q)][:, None]
+        s = jax.lax.dot_general(q, kblk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(kmask > 0, s, NEG_INF)
+        if causal:
+            rows = qs + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, bk), 0)
+            cols = ks + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, bk), 1)
+            s = jnp.where(cols <= rows, s, NEG_INF)
+        p = jnp.exp(s - lse)                                  # (BQ, BK)
+        dv = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (BK, D)
+        dp = jax.lax.dot_general(do, vblk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        return dk, dv
+
+    z = jnp.zeros((bk, kblk.shape[1]), jnp.float32)
+    first = (jnp.maximum(ks // block_q, 0) if causal else 0)
+    dk, dv = jax.lax.fori_loop(first if causal else 0, n_qb, body, (z, z))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, key_mask, causal, lse, o, do,
+                    block_q: int = 256, block_k: int = 256,
+                    interpret: Optional[bool] = None):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    block_q, block_k = _block_sizes(lq, lk, block_q, block_k)
+    qf, kf, vf, maskf, lq_p, lk_p = _pad_inputs(q, k, v, key_mask,
+                                                block_q, block_k)
+    dof = jnp.pad(do, ((0, 0), (0, 0), (0, lq_p - lq), (0, 0))
+                  ).reshape(b * h, lq_p, d)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, lq_p - lq))
+                    ).reshape(b * h, lq_p)
+    # lse is already (BH, lq_p) from the forward
+
+    scale = 1.0 / np.sqrt(d)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k,
+                          causal=causal),
+        grid=(b * h, lq_p // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_p, d), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_p, d), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lk_p), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda bh, qi: (bh, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda bh, qi: (bh, qi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, maskf, dof, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, block_q=block_q,
+                          causal=causal),
+        grid=(b * h, lk_p // block_k),
+        in_specs=[
+            pl.BlockSpec((1, lq_p, d), lambda bh, ki: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k), lambda bh, ki: (bh, 0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq_p, d), lambda bh, ki: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq_p), lambda bh, ki: (bh, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq_p), lambda bh, ki: (bh, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, lk_p, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, lk_p, d), v.dtype),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, maskf, dof, lse, delta)
+
+    dq = dq.reshape(b, h, lq_p, d)[:, :, :lq, :]
+    dk = dk.reshape(b, h, lk_p, d)[:, :, :lk, :]
+    dv = dv.reshape(b, h, lk_p, d)[:, :, :lk, :]
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def flash_attention(q, k, v, key_mask=None, causal: bool = False):
     """Fused attention; q,k,v (B,H,L,D), key_mask (B,Lk) 1=valid."""
-    return _flash_forward(q, k, v, key_mask, causal)
+    return _flash_forward(q, k, v, key_mask, causal)[0]
 
 
 def _fwd(q, k, v, key_mask, causal):
-    return _flash_forward(q, k, v, key_mask, causal), (q, k, v, key_mask)
+    o, lse = _flash_forward(q, k, v, key_mask, causal)
+    return o, (q, k, v, key_mask, o, lse)
 
 
 def _bwd(causal, res, g):
-    q, k, v, key_mask = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: mha_reference(q_, k_, v_, key_mask,
-                                                      causal), q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, key_mask, o, lse = res
+    dq, dk, dv = _flash_backward(q, k, v, key_mask, causal, lse, o, g)
     return dq, dk, dv, None
 
 

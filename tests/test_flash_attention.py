@@ -104,3 +104,46 @@ def test_decoder_full_forward_same_with_flash_and_xla(rng):
         layers.set_attention_impl(None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_pallas_backward_masked(rng, causal):
+    """The Pallas two-kernel backward (dq + dk/dv from saved lse) matches
+    reference grads under padding masks, causal masking, and ragged
+    lengths — the training hot path in every freeze mode."""
+    lq = lk = 37 if causal else 0
+    if not causal:
+        lq, lk = 21, 37
+    q, k, v = make_qkv(rng, lq=lq, lk=lk, d=16)
+    mask = np.ones((2, lk), np.int32)
+    mask[0, lk - 7:] = 0
+    mask[1, lk - 2:] = 0
+    mask = jnp.asarray(mask)
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, mask, causal)
+        return jnp.sum(out * jnp.cos(out))  # non-trivial cotangents
+
+    def loss_ref(q, k, v):
+        out = mha_reference(q, k, v, mask, causal)
+        return jnp.sum(out * jnp.cos(out))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, gf, gr in zip("qkv", g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=3e-4, rtol=1e-3, err_msg=name)
+
+
+def test_flash_pallas_backward_bf16(rng):
+    q, k, v = make_qkv(rng, lq=32, lk=32)
+    qb, kb, vb = (t.astype(jnp.bfloat16) for t in (q, k, v))
+
+    g = jax.grad(lambda a, b, c: jnp.sum(flash_attention(a, b, c) ** 2),
+                 argnums=(0, 1, 2))(qb, kb, vb)
+    g_ref = jax.grad(lambda a, b, c: jnp.sum(mha_reference(a, b, c) ** 2),
+                     argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g, g_ref):
+        assert gf.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(gf, np.float32),
+                                   np.asarray(gr), atol=0.1, rtol=0.05)
