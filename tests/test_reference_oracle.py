@@ -276,3 +276,42 @@ def test_generate_vqa_settings_match_hf(seed, eos_boost, rng):
     _compare_generate(ref_dec, model, variables, prompt, mask, enc,
                       max_length=p + 10, min_length=p + 2,
                       length_penalty=-1.0)
+
+
+def test_encoder_nondivisible_patch_geometry_matches_reference(rng):
+    """ViT-L/14-style geometry: resolution NOT a multiple of patch size.
+    torch Conv2d floors (VALID) -> (100//14)^2 = 49 tokens; flax SAME
+    padding would give 8x8=64 (the round-1 bug caught by the real-shape
+    sharding test). Pins output shape AND values vs the reference ViT."""
+    RefViT, _ = _reference_modules()
+    torch.manual_seed(3)
+    ref_vit = RefViT(input_resolution=100, patch_size=14, width=64,
+                     layers=2, heads=2, experts={"rgb": 3}).eval()
+
+    vis = VisionEncoderConfig(
+        name="ViT-Geom-Test", image_resolution=100, label_resolution=64,
+        patch_size=14, width=64, layers=2, heads=2, experts=(("rgb", 3),))
+    geom = dict(GEN, vision_hidden_size=64)
+    dec = TextDecoderConfig(**geom)
+    cfg = PrismerConfig(vision=vis, decoder=dec, prismer_model="geom",
+                        freeze="none", dtype="float32")
+
+    from transformers import RobertaConfig
+    ref_dec_cfg = RobertaConfig(
+        bos_token_id=0, eos_token_id=2, pad_token_id=1, type_vocab_size=1,
+        hidden_act="gelu", layer_norm_eps=1e-5, is_decoder=True, **geom)
+    _, RefDecoder = _reference_modules()
+    ref_dec = RefDecoder(ref_dec_cfg).eval()
+
+    tree = cv.convert_prismer_checkpoint(_composed_sd(ref_vit, ref_dec), cfg)
+    model = Prismer(cfg)
+    variables = _our_variables(model, cfg, tree, np.random.default_rng(3))
+
+    a = rng.standard_normal((2, 3, 100, 100)).astype(np.float32)
+    with torch.no_grad():
+        want = ref_vit({"rgb": torch.tensor(a)}).permute(1, 0, 2).numpy()
+    got = np.asarray(model.apply(
+        variables, {"rgb": jnp.asarray(a.transpose(0, 2, 3, 1))},
+        method=Prismer.encode))
+    assert got.shape == want.shape == (2, 49, 64)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
