@@ -86,7 +86,7 @@ def device_experts(cfg, key, batch):
     return out
 
 
-def init_variables(model, cfg, batch):
+def init_variables(model, cfg, batch, params_dtype="bfloat16"):
     import jax
     import jax.numpy as jnp
 
@@ -97,6 +97,16 @@ def init_variables(model, cfg, batch):
         variables = model.init(
             {"params": jax.random.key(0), "instance": jax.random.key(1)},
             experts, jnp.ones((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32))
+    if params_dtype == "bfloat16":
+        # serving configuration: weights stored bf16 in HBM. The bf16
+        # compute path already casts fp32 weights to bf16 at every use, so
+        # matmul numerics are IDENTICAL — this just halves weight HBM
+        # traffic (the skinny decode-step matmuls are weight-bound).
+        # fp32 LayerNorm islands upcast their (bf16) scales, as a bf16
+        # checkpoint would.
+        variables = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, variables)
     return jax.device_put(variables, jax.devices()[0])
 
 
@@ -195,6 +205,8 @@ def main():
     ap.add_argument("--iters", type=int, default=4,
                     help="pipeline iterations inside the timed program")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--params_dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
     args = ap.parse_args()
 
     if args.task == "vqa":
@@ -222,7 +234,8 @@ def main():
     if args.quick:
         batches = batches[:1]
     prompt_len = 4  # 'A picture of' minus </s> (prismer_caption.py:38-40)
-    variables = init_variables(model, cfg, batches[0])
+    variables = init_variables(model, cfg, batches[0],
+                               "float32" if args.quick else args.params_dtype)
 
     def one_caption_pass(variables, experts, key, batch):
         prompt = jax.random.randint(key, (batch, prompt_len), 4, 1000)

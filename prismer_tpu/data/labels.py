@@ -41,6 +41,27 @@ def _nonempty(path: str) -> bool:
     return os.path.exists(path) and os.stat(path).st_size > 0
 
 
+def _open_label_png(path: str, mode: str) -> Image.Image:
+    """Decode a label PNG — native libpng fast path (GIL-releasing, default
+    on, opt out with PRISMER_NATIVE_LOADER=0) when the file's channel count
+    already matches `mode`; exact PIL fallback otherwise (an RGB file read
+    as 'L' needs PIL's luminance conversion semantics)."""
+    if os.environ.get("PRISMER_NATIVE_LOADER", "1") != "0":
+        from prismer_tpu import native
+        if native.is_available():
+            try:
+                with open(path, "rb") as f:
+                    arr = native.decode_png(f.read())
+            except Exception:
+                arr = None
+            if arr is not None:
+                if mode == "L" and arr.ndim == 2:
+                    return Image.fromarray(arr, "L")
+                if mode == "RGB" and arr.ndim == 3:
+                    return Image.fromarray(arr, "RGB")
+    return Image.open(path).convert(mode)
+
+
 def load_expert_labels(data_path: str, label_path: str, image_path: str,
                        dataset: str, experts) -> Tuple[Image.Image,
                                                        Optional[Dict],
@@ -59,20 +80,20 @@ def load_expert_labels(data_path: str, label_path: str, image_path: str,
     for exp in experts:
         png = _label_file(label_path, exp, dataset, image_path, ".png")
         if exp in ("seg_coco", "seg_ade", "edge", "depth"):
-            labels[exp] = (Image.open(png).convert("L") if _nonempty(png)
+            labels[exp] = (_open_label_png(png, "L") if _nonempty(png)
                            else Image.new("L", (w, h), 0))
         elif exp == "normal":
-            labels[exp] = (Image.open(png).convert("RGB") if _nonempty(png)
+            labels[exp] = (_open_label_png(png, "RGB") if _nonempty(png)
                            else Image.new("RGB", (w, h), (0, 0, 0)))
         elif exp == "obj_detection":
-            labels[exp] = (Image.open(png).convert("L") if _nonempty(png)
+            labels[exp] = (_open_label_png(png, "L") if _nonempty(png)
                            else Image.new("L", (w, h), 255))
             js = _label_file(label_path, exp, dataset, image_path, ".json")
             info[exp] = json.load(open(js)) if os.path.exists(js) else {}
         elif exp == "ocr_detection":
             pt = _label_file(label_path, exp, dataset, image_path, ".pt")
             if os.path.exists(pt):
-                labels[exp] = Image.open(png).convert("L")
+                labels[exp] = _open_label_png(png, "L")
                 info[exp] = _load_ocr_sidecar(pt)
             else:
                 labels[exp] = Image.new("L", (w, h), 255)

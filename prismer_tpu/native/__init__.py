@@ -29,7 +29,7 @@ def _build() -> None:
         return
     include = sysconfig.get_paths()["include"]
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           f"-I{include}", src, "-ljpeg", "-o", out]
+           f"-I{include}", src, "-ljpeg", "-lpng", "-o", out]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -70,3 +70,15 @@ def decode_jpeg_shape(data: bytes) -> Tuple[int, int]:
     if mod is None:
         raise RuntimeError("native loader unavailable")
     return tuple(mod.decode_jpeg_shape(data))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 (h, w) grayscale or (h, w, 3) RGB array (palette
+    expanded, 16-bit stripped, alpha dropped). Raises on exotic formats —
+    callers fall back to PIL."""
+    mod = _load()
+    if mod is None:
+        raise RuntimeError("native loader unavailable")
+    raw, (h, w, ch) = mod.decode_png(data)
+    arr = np.frombuffer(raw, np.uint8)
+    return arr.reshape(h, w) if ch == 1 else arr.reshape(h, w, 3)

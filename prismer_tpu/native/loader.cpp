@@ -11,11 +11,15 @@
 //   decode_jpeg_resize(bytes, out_h, out_w, mean3, std3) -> np-ready
 //       float32 buffer (out_h, out_w, 3), bilinear half-pixel resize
 //   decode_jpeg_shape(bytes) -> (h, w)
+//   decode_png(bytes) -> (bytes, (h, w, channels)) uint8, 1 or 3 channels
+//       (palette expanded to RGB, 16-bit stripped, alpha dropped) — the
+//       expert-label PNG fast path for data/labels.py
 
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
 #include <jpeglib.h>
+#include <png.h>
 
 #include <cmath>
 #include <csetjmp>
@@ -156,7 +160,94 @@ PyObject* py_decode_jpeg_shape(PyObject*, PyObject* args) {
   return Py_BuildValue("(ii)", h, w);
 }
 
+struct PngReadCtx {
+  const unsigned char* data;
+  size_t size;
+  size_t off;
+};
+
+void png_read_fn(png_structp p, png_bytep out, png_size_t n) {
+  auto* ctx = static_cast<PngReadCtx*>(png_get_io_ptr(p));
+  if (ctx->off + n > ctx->size) png_error(p, "unexpected end of PNG data");
+  std::memcpy(out, ctx->data + ctx->off, n);
+  ctx->off += n;
+}
+
+bool decode_png_buf(const unsigned char* data, size_t size,
+                    std::vector<unsigned char>* out, int* h, int* w,
+                    int* ch) {
+  if (size < 8 || png_sig_cmp(data, 0, 8)) return false;
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                           nullptr, nullptr);
+  if (!png) return false;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  PngReadCtx ctx{data, size, 0};
+  png_set_read_fn(png, &ctx, png_read_fn);
+  png_read_info(png, info);
+  png_uint_32 W = 0, H = 0;
+  int bit_depth = 0, color_type = 0;
+  png_get_IHDR(png, info, &W, &H, &bit_depth, &color_type, nullptr, nullptr,
+               nullptr);
+  if (bit_depth == 16) png_set_strip_16(png);
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+  int channels = png_get_channels(png, info);
+  if (channels != 1 && channels != 3) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  *h = static_cast<int>(H);
+  *w = static_cast<int>(W);
+  *ch = channels;
+  out->resize(static_cast<size_t>(H) * W * channels);
+  std::vector<png_bytep> rows(H);
+  for (png_uint_32 y = 0; y < H; ++y)
+    rows[y] = out->data() + static_cast<size_t>(y) * W * channels;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  return true;
+}
+
+PyObject* py_decode_png(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  if (!PyArg_ParseTuple(args, "y*", &buf)) return nullptr;
+  std::vector<unsigned char> out;
+  int h = 0, w = 0, ch = 0;
+  bool ok;
+  Py_BEGIN_ALLOW_THREADS
+  ok = decode_png_buf(static_cast<const unsigned char*>(buf.buf), buf.len,
+                      &out, &h, &w, &ch);
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&buf);
+  if (!ok) {
+    PyErr_SetString(PyExc_ValueError, "libpng decode failed/unsupported");
+    return nullptr;
+  }
+  PyObject* bytes = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(out.data()),
+      static_cast<Py_ssize_t>(out.size()));
+  if (bytes == nullptr) return nullptr;
+  PyObject* shape = Py_BuildValue("(iii)", h, w, ch);
+  PyObject* result = PyTuple_Pack(2, bytes, shape);
+  Py_DECREF(bytes);
+  Py_DECREF(shape);
+  return result;
+}
+
 PyMethodDef methods[] = {
+    {"decode_png", py_decode_png, METH_VARARGS,
+     "decode_png(data) -> (bytes, (h, w, channels))"},
     {"decode_jpeg_resize", py_decode_jpeg_resize, METH_VARARGS,
      "decode_jpeg_resize(data, out_h, out_w, mean, std) -> (bytes, shape)"},
     {"decode_jpeg_shape", py_decode_jpeg_shape, METH_VARARGS,

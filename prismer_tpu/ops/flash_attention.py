@@ -112,7 +112,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         acc, m, l = jax.lax.fori_loop(0, n_kb, body, (acc0, m0, l0))
 
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+    # lse is stored as a (BQ, 8) lane-replicated tile: Mosaic constrains the
+    # last two block dims to be (8,128)-aligned or full-size, and dynamic
+    # narrow stores miscompile — a static full-block store of a small
+    # replicated tile sidesteps both
+    lse = m + jnp.log(jnp.maximum(l, 1e-30))              # (BQ, 1)
+    lse_ref[0] = jnp.broadcast_to(lse, (bq, 8))
 
 
 def _block_sizes(lq: int, lk: int, block_q: int = 256, block_k: int = 256):
@@ -178,12 +183,12 @@ def _flash_forward(q, k, v, key_mask, causal,
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda bh, qi: (bh, qi),
+            pl.BlockSpec((1, block_q, 8), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, lq_p), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, lq_p, 8), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * lq_p * lk_p * d,
@@ -202,12 +207,12 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
                    causal: bool):
     q = q_ref[0].astype(jnp.float32)           # (BQ, D)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]                  # (BQ, 1)
-    delta = delta_ref[0][:, None]
     lk = k_ref.shape[1]
     bq = q.shape[0]
     n_kb = lk // block_k
     q_start = pl.program_id(1) * bq
+    lse = lse_ref[0][:, 0:1]                   # (BQ, 1) from the 8-lane tile
+    delta = delta_ref[0][:, 0:1]
 
     def body(kb, dq):
         ks = kb * block_k
@@ -254,8 +259,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
         qs = qb * block_q
         q = q_ref[0, pl.ds(qs, block_q), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(qs, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(qs, block_q)][:, None]
-        delta = delta_ref[0, pl.ds(qs, block_q)][:, None]
+        lse = lse_ref[0, pl.ds(qs, block_q), :][:, 0:1]
+        delta = delta_ref[0, pl.ds(qs, block_q), :][:, 0:1]
         s = jax.lax.dot_general(q, kblk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         s = jnp.where(kmask > 0, s, NEG_INF)
@@ -299,7 +304,8 @@ def _flash_backward(q, k, v, key_mask, causal, lse, o, do,
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     delta = jnp.pad(delta, ((0, 0), (0, 0), (0, lq_p - lq))
                     ).reshape(b * h, lq_p)
-    # lse is already (BH, lq_p) from the forward
+    delta = jnp.broadcast_to(delta[..., None], (b * h, lq_p, 8))
+    # lse is already (BH, lq_p, 8) from the forward
 
     scale = 1.0 / np.sqrt(d)
     dq = pl.pallas_call(
@@ -317,9 +323,9 @@ def _flash_backward(q, k, v, key_mask, causal, lse, o, do,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda bh, qi: (bh, qi),
+            pl.BlockSpec((1, block_q, 8), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda bh, qi: (bh, qi),
+            pl.BlockSpec((1, block_q, 8), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
@@ -343,9 +349,9 @@ def _flash_backward(q, k, v, key_mask, causal, lse, o, do,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lq_p, d), lambda bh, ki: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lq_p), lambda bh, ki: (bh, 0),
+            pl.BlockSpec((1, lq_p, 8), lambda bh, ki: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lq_p), lambda bh, ki: (bh, 0),
+            pl.BlockSpec((1, lq_p, 8), lambda bh, ki: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
