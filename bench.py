@@ -86,7 +86,7 @@ def device_experts(cfg, key, batch):
     return out
 
 
-def init_variables(model, cfg, batch, params_dtype="bfloat16"):
+def init_variables(model, cfg, batch, params_dtype="float32"):
     import jax
     import jax.numpy as jnp
 
@@ -205,8 +205,11 @@ def main():
     ap.add_argument("--iters", type=int, default=4,
                     help="pipeline iterations inside the timed program")
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--params_dtype", default="bfloat16",
-                    choices=["bfloat16", "float32"])
+    ap.add_argument("--params_dtype", default="float32",
+                    choices=["bfloat16", "float32"],
+                    help="bf16 weight storage measured ~2%% SLOWER at b32 "
+                         "(210.7 vs 215.8 img/s) — the pipeline is not "
+                         "weight-bound; kept as an option")
     args = ap.parse_args()
 
     if args.task == "vqa":

@@ -5,9 +5,10 @@ train, 8 workers). Decode/augment is PIL+numpy; PIL releases the GIL for
 the pixel work, so thread workers scale partially — `worker_type="process"`
 forks worker processes (torch-DataLoader-style) for full multi-core scaling
 of the Python-side transform glue. Measured cost of the full 6-expert 480px
-record (decode + joint Transform/RandAugment + tensorize): ~70 ms/core
-=> ~14 records/sec/core (tools/bench_input_pipeline.py), i.e. one chip's
-appetite (~190 img/s, BENCH) needs ~14 cores of workers.
+record (decode + joint Transform/RandAugment + tensorize,
+tools/bench_input_pipeline.py): 17.8 records/sec/core with the native
+libpng label path (default) vs 10.6 with PIL — one chip's appetite
+(~216 img/s, BENCH) needs ~12 cores of workers.
 
 Batches are collated to contiguous numpy arrays ready for a single
 device_put. Per-process sharding (`shard_id`/`num_shards`) replaces

