@@ -17,6 +17,16 @@ import numpy as np
 from PIL import Image, ImageDraw
 
 
+def ade20k_colormap() -> np.ndarray:
+    """The ADE20K benchmark colormap (151, 3) u8 — the exact constant table
+    the reference visualizes segmentation with (utils.py:44-201); bundled as
+    an asset."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "assets",
+                        "ade20k_colormap.npy")
+    return np.load(path)
+
+
 def _palette(n: int = 256, seed: int = 1) -> np.ndarray:
     rng = np.random.default_rng(seed)
     pal = rng.integers(40, 255, (n, 3)).astype(np.uint8)
@@ -45,6 +55,13 @@ def load_panel(label_path, exp, rel_dir, fname, size):
         out = img.convert("RGB")
     elif exp == "edge":
         out = Image.fromarray(np.stack([arr] * 3, -1))
+    elif exp == "seg_ade":
+        # the reference colors ADE segmentation with the benchmark colormap
+        # (utils.py:44-201); ids >= 151 (incl. 255 background) wrap into the
+        # deterministic palette
+        cmap = np.concatenate([ade20k_colormap(),
+                               _palette()[len(ade20k_colormap()):]])
+        out = Image.fromarray(cmap[arr])
     else:  # id maps
         out = Image.fromarray(_palette()[arr])
     return out.resize(size, Image.NEAREST)
