@@ -121,6 +121,86 @@ _PEAK_BF16_TFLOPS = (("v6", 918.0), ("v5p", 459.0), ("v5", 197.0),
                      ("v4", 275.0), ("v3", 123.0), ("v2", 46.0))
 
 
+def analytic_caption_flops(cfg, batch: int, prompt_len: int, max_length: int,
+                           num_beams: int) -> float:
+    """Model FLOPs of ONE caption pass (encoder + prefill + full decode).
+
+    XLA's cost_analysis undercounts this program badly: Pallas custom calls
+    report no flops, and the decode `while_loop` body is counted once, not
+    once per trip. This counts matmul/conv/attention FLOPs from the model
+    geometry instead (elementwise and resize ops, <1%, are ignored).
+
+    Decode trip count is taken as max_length - prompt_len: with random-init
+    weights EOS never wins a beam slot, so the bench loop always runs to
+    max_length (stated in the module docstring)."""
+    v = cfg.vision
+    d = cfg.decoder
+    w = v.width
+    mm = lambda rows, cin, cout: 2.0 * rows * cin * cout
+
+    f = 0.0
+    # --- encoder stems (per image) --------------------------------------
+    n_rgb = v.rgb_tokens
+    f += mm(n_rgb, 3 * v.patch_size ** 2, w)  # RGB patchify conv
+    stem_tokens = 0
+    for exp, ch in v.experts:
+        if exp == "rgb":
+            continue
+        id_map = ch == 64
+        s = int(v.label_resolution * (4 if id_map else 16) / v.patch_size)
+        strides = (2, 2, 1, 1) if id_map else (2, 2, 2, 2)
+        widths = (w // 8, w // 4, w // 2, w)
+        cin = ch
+        for st, cout in zip(strides, widths):
+            s //= st
+            f += mm(s * s, 9 * cin, cout)
+            cin = cout
+        f += mm(s * s, w, w)  # 1x1 proj
+        stem_tokens += s * s
+    # --- resampler (4 layers over 64 latents + expert tokens) -----------
+    if stem_tokens:
+        m = v.resampler_latents + stem_tokens
+        for _ in range(v.resampler_layers):
+            f += mm(v.resampler_latents, w, w)      # q
+            f += 2 * mm(m, w, w)                    # k, v
+            f += 2 * mm(v.resampler_latents, m, w)  # scores + weighted sum
+            f += mm(v.resampler_latents, w, w)      # out
+            f += 2 * mm(v.resampler_latents, w, 4 * w)  # mlp
+    # --- ViT trunk -------------------------------------------------------
+    n = n_rgb + (v.resampler_latents if stem_tokens else 0)
+    per_block = (4 * mm(n, w, w)        # qkvo
+                 + 2 * mm(n, n, w)      # scores + weighted sum
+                 + 2 * mm(n, w, w)      # adaptor
+                 + 2 * mm(n, w, 4 * w))  # mlp
+    f += v.layers * per_block
+    f *= batch  # everything above is per image
+
+    # --- decoder ----------------------------------------------------------
+    dw = d.hidden_size
+    rows = batch * num_beams
+    n_layers = d.num_hidden_layers
+    # cross-K/V projection: once per SAMPLE (beam-grouped), per layer
+    f += n_layers * 2 * mm(batch * n, d.vision_hidden_size, dw)
+    # prompt prefill over rows
+    p = prompt_len
+    per_tok_self = 4 * mm(1, dw, dw) + 2 * mm(1, dw, 4 * dw)
+    per_tok_cross = 2 * mm(1, dw, dw) + 2 * mm(1, dw, dw)  # q+out, adaptor
+    f += rows * p * (n_layers * (per_tok_self + per_tok_cross)
+                     + per_tok_self)  # +1 output layer
+    f += n_layers * 2 * 2 * rows * p * p * dw / 2  # causal self-attn (~half)
+    f += n_layers * 2 * 2 * rows * p * n * dw      # cross attn
+    f += rows * (mm(1, dw, dw) + mm(1, dw, d.vocab_size))  # LM head, last pos
+    # decode steps
+    steps = max_length - prompt_len
+    per_step = (n_layers * (per_tok_self + per_tok_cross)
+                + per_tok_self                      # output layer
+                + n_layers * 2 * 2 * max_length * dw   # self-attn over cache
+                + mm(1, dw, dw) + mm(1, dw, d.vocab_size))  # LM head
+    f += steps * rows * per_step
+    f += steps * n_layers * 2 * 2 * rows * n * dw  # cross-attn over enc tokens
+    return f
+
+
 def peak_tflops(device) -> float:
     kind = getattr(device, "device_kind", "").lower()
     for tag, tf in _PEAK_BF16_TFLOPS:
@@ -263,7 +343,18 @@ def main():
         def cached_program(variables, experts, seed):
             def body(c, i):
                 key = jax.random.fold_in(jax.random.key(seed), i)
-                return c + one_caption_pass(variables, experts, key,
+                # scale every float input by an iteration-dependent factor:
+                # with loop-invariant inputs XLA's WhileLoopInvariantCodeMotion
+                # hoists the ENTIRE ENCODER out of the scan (verified in the
+                # optimized HLO, tools/check_hoisting.py), so N iterations
+                # would pay for one encode and inflate img/s ~1.8x. The
+                # perturbation costs one elementwise pass over the inputs
+                # (~3 ms at b32) and keeps every iteration's encode real.
+                eps = 1.0 + 1e-6 * (i + 1).astype(jnp.float32)
+                experts_i = jax.tree.map(
+                    lambda x: x * eps
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x, experts)
+                return c + one_caption_pass(variables, experts_i, key,
                                             batch), None
             out, _ = jax.lax.scan(body, jnp.int32(0),
                                   jnp.arange(args.iters))
@@ -295,13 +386,18 @@ def main():
             best = (ips_b, b, t_b, experts_b, compiled_b)
     ips, batch, t_cached, experts_fixed, compiled = best
 
-    # achieved TFLOP/s + MFU from the winner's own cost analysis
-    tflops_per_sec = mfu = None
+    # achieved TFLOP/s + MFU from analytic model FLOPs (XLA cost analysis
+    # misses Pallas custom calls and counts while_loop bodies once — it
+    # undercounts this program several-fold; kept as tflops_xla for contrast)
+    tflops_per_sec = mfu = tflops_xla = None
+    peak = peak_tflops(jax.devices()[0])
+    aflops = analytic_caption_flops(cfg, batch, prompt_len, max_length,
+                                    num_beams=3)
+    tflops_per_sec = aflops / t_cached / 1e12
+    mfu = tflops_per_sec / peak if peak else None
     flops = program_flops(compiled)
     if flops:
-        tflops_per_sec = flops / args.iters / t_cached / 1e12
-        peak = peak_tflops(jax.devices()[0])
-        mfu = tflops_per_sec / peak if peak else None
+        tflops_xla = flops / args.iters / t_cached / 1e12
 
     vs = None
     if not args.skip_baseline:
@@ -351,6 +447,7 @@ def main():
         "sweep": sweep,
         "tflops_per_sec": round(tflops_per_sec, 2) if tflops_per_sec else None,
         "mfu": round(mfu, 4) if mfu else None,
+        "tflops_xla": round(tflops_xla, 2) if tflops_xla else None,
     }), flush=True)
 
 

@@ -1,0 +1,121 @@
+"""Decompose the decode loop's per-step cost by ablating one component at a
+time (monkeypatched to an identity of the right shape) and re-timing the full
+caption pipeline on the chip.
+
+Variants:
+  base      unmodified pipeline
+  nocross   beam-grouped cross-attention -> identity (keeps out-proj)
+  noself    cached self-attention -> identity (keeps q/kv proj + cache write)
+  nolmhead  LM head -> pad(hidden) to vocab (removes the 768xV matmul)
+
+The difference base - variant bounds that component's share of decode time
+(prefill is mildly affected too; it is ~7% of the total).
+
+Usage: python tools/profile_decode_parts.py [--batch 32] [--variants ...]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from bench import device_experts, init_variables, make_model, timed_value
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--variants", nargs="+",
+                    default=["base", "nocross", "noself", "nolmhead"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/prismer_tpu_jax_cache")
+
+    from prismer_tpu.models import roberta as rb
+    from prismer_tpu.models.generation import beam_search
+    from prismer_tpu.models.prismer import Prismer
+
+    model, cfg = make_model("prismer_base", False)
+    batch = args.batch
+    variables = init_variables(model, cfg, batch)
+
+    @jax.jit
+    def make_inputs(seed):
+        return device_experts(cfg, jax.random.key(seed), batch)
+
+    experts_fixed = jax.tree.map(lambda x: x, make_inputs(jnp.int32(42)))
+
+    orig_grouped = rb.SelfAttentionCore.attend_grouped
+    orig_attend = rb.SelfAttentionCore.attend
+    orig_lmhead = rb.LMHead.__call__
+
+    def patch(variant):
+        rb.SelfAttentionCore.attend_grouped = orig_grouped
+        rb.SelfAttentionCore.attend = orig_attend
+        rb.LMHead.__call__ = orig_lmhead
+        if variant == "nocross":
+            rb.SelfAttentionCore.attend_grouped = (
+                lambda self, hidden, k, v, beams: hidden)
+        elif variant == "noself":
+            rb.SelfAttentionCore.attend = (
+                lambda self, hidden, k, v, bias: hidden)
+        elif variant == "nolmhead":
+            def fake_lmhead(self, hidden, word_embeddings):
+                v = self.cfg.vocab_size
+                h = hidden.astype(jnp.float32)
+                return jnp.pad(h, ((0, 0), (0, 0), (0, v - h.shape[-1])))
+            rb.LMHead.__call__ = fake_lmhead
+
+    results = {}
+    for variant in args.variants:
+        patch(variant)
+
+        def full_pass(variables, experts, key):
+            prompt = jax.random.randint(key, (batch, 4), 4, 1000)
+            mask = jnp.ones((batch, 4), jnp.int32)
+            enc = model.apply(variables, experts, method=Prismer.encode)
+            seqs, _ = beam_search(
+                model, variables, enc, prompt, mask, num_beams=3,
+                max_length=20, min_length=8, length_penalty=1.0,
+                eos_token_id=cfg.decoder.eos_token_id,
+                pad_token_id=cfg.decoder.pad_token_id)
+            return jnp.sum(seqs, dtype=jnp.int32).astype(jnp.float32)
+
+        @jax.jit
+        def program(variables, experts, seed):
+            def body(c, i):
+                key = jax.random.fold_in(jax.random.key(seed), i)
+                return c + full_pass(variables, experts, key), None
+            out, _ = jax.lax.scan(body, jnp.float32(0),
+                                  jnp.arange(args.iters))
+            return out
+
+        t0 = time.perf_counter()
+        timed_value(program, variables, experts_fixed, jnp.int32(0))
+        print(f"# {variant}: compile+first {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr, flush=True)
+        times = []
+        for r in range(args.repeats):
+            t, _ = timed_value(program, variables, experts_fixed,
+                               jnp.int32(r + 1))
+            times.append(t)
+        per_iter = min(times) / args.iters
+        results[variant] = per_iter
+        print(f"{variant}: {per_iter * 1000:.2f} ms/iter", flush=True)
+
+    patch("base")
+    if "base" in results:
+        for v, t in results.items():
+            if v != "base":
+                print(f"{v} share: {(results['base'] - t) * 1000:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
