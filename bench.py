@@ -277,7 +277,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=None,
                     help="single batch size (overrides --batches)")
-    ap.add_argument("--batches", type=int, nargs="+", default=[8, 16, 32])
+    ap.add_argument("--batches", type=int, nargs="+", default=[8, 16, 32, 64])
     ap.add_argument("--model", default="prismer_base")
     ap.add_argument("--task", default="caption", choices=["caption", "vqa"])
     ap.add_argument("--quick", action="store_true")

@@ -1,0 +1,108 @@
+"""Pallas TPU kernel for beam-grouped cross-attention at decode time —
+MEASURED AND NOT ADOPTED (kept as the documented experiment).
+
+During cached beam decode every step attends a handful of query rows (the
+beams of one sample, Q = num_beams * token_count <= ~16) against the fixed
+per-sample encoder keys/values (L ~ 964-1220 tokens) — the dominant HBM
+traffic of the decode loop (12 layers re-read the full cross-K/V cache every
+step; the reference recomputes them outright, model/modules/roberta.py:358-406).
+
+Measured on the v5e chip, Prismer-BASE b32 beam-3 decode (16 steps, honest
+anti-hoisting timing; tools/profile_pipeline.py):
+
+  XLA einsum path (natural K layout)        decode  97 ms
+  this kernel, grid (B*H) = 384 programs    decode 191 ms
+  this kernel, grid (B,) heads unrolled     decode 177 ms
+  XLA einsum path, K stored pre-transposed  (adopted — models/roberta.py
+                                             attend_grouped)
+
+The kernel loses because it runs 12 layers x 16 steps = 192 pallas_call
+invocations inside the decode while_loop and the per-invocation overhead
+dwarfs its VMEM-resident softmax win at these shapes; the real XLA-path cost
+was the per-step HBM re-transpose of K, which the (B, H, Dh, L) cache layout
+removes for free. A future fused whole-step kernel (13 layers in one
+invocation, weights streamed block-wise) is the only Pallas formulation that
+could amortize the invocation cost.
+
+Inference-only (the training path uses full-sequence flash attention), so no
+custom VJP is defined.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _grouped_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                    valid_len: int, heads: int):
+    """One program per SAMPLE; all heads unrolled in-kernel. A per-(sample,
+    head) grid (B*H programs) measured 2x SLOWER than the XLA path — the
+    per-grid-step pipeline overhead dwarfs the 256 KB of useful K/V DMA.
+    Per-sample programs move ~3 MB each, which amortizes it."""
+    lp = k_ref.shape[2]
+    for h in range(heads):  # static unroll
+        q = q_ref[0, h].astype(jnp.float32)              # (Qp, Dh)
+        k = k_ref[0, h].astype(jnp.float32)              # (Lp, Dh)
+        v = v_ref[0, h].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if valid_len < lp:  # static padding mask
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(cols < valid_len, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, h] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def grouped_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                             interpret: Optional[bool] = None) -> jax.Array:
+    """q: (B, H, Q, Dh) with small Q; k/v: (B, H, L, Dh). Exact softmax over
+    the full (unmasked) key length. Returns (B, H, Q, Dh) in q.dtype."""
+    b, h, nq, dh = q.shape
+    l = k.shape[2]
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    qp = max(8, -(-nq // 8) * 8)
+    lp = -(-l // 128) * 128
+    if qp != nq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, qp - nq), (0, 0)))
+    if lp != l:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, lp - l), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, lp - l), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_grouped_kernel, scale=1.0 / np.sqrt(dh),
+                          valid_len=l, heads=h),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, qp, dh), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, lp, dh), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, lp, dh), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, qp, dh), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, qp, dh), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * qp * lp * dh,
+            bytes_accessed=(k.size + v.size) * k.dtype.itemsize,
+            transcendentals=b * h * qp * lp,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :, :nq, :]

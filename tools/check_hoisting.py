@@ -1,31 +1,52 @@
-"""Check whether XLA hoists the loop-invariant encoder out of the bench's
-scan-amortized pipeline (WhileLoopInvariantCodeMotion would inflate the
-throughput reading: N iterations would pay for one encode).
+"""Empirically check whether XLA amortizes loop-invariant work (the encoder)
+across the bench's scan iterations.
 
-Dumps the optimized HLO of the bench program and reports whether the
-convolution ops (the encoder stems — only present in encode) sit inside the
-while-loop body computation or outside it.
+Round-2 history: an HLO reachability analysis of the optimized module
+concluded the encoder convolutions sat inside the scan body ("not hoisted").
+That conclusion was WRONG — timing the same pipeline with and without an
+iteration-dependent input perturbation showed ~3x amortization of the
+encoder (prefill stage 50.7 ms/iter fixed-input vs 162.7 ms/iter perturbed
+at b32). Optimized-HLO call graphs (flattened fusions, `wide.*` loop
+transforms) are too hard to parse reliably; this tool now settles the
+question the only trustworthy way — by measuring.
+
+Method: run the pipeline program at iters=1 and iters=8 with FIXED inputs.
+If per-iteration work is honest, t(8) ~ 8 * t(1) (ratio >= ~6.5 after
+subtracting dispatch overhead). If XLA amortizes the encoder, the ratio
+collapses toward (E + 8*rest) / (E + rest).
+
+Usage: python tools/check_hoisting.py [--batch 8] [--perturb]
 """
 
-import re
+import argparse
 import sys
+import time
 
 sys.path.insert(0, ".")
 
-from bench import device_experts, init_variables, make_model
+from bench import device_experts, init_variables, make_model, timed_value
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--perturb", action="store_true",
+                    help="apply the bench's anti-hoisting perturbation "
+                         "(expected: ratio ~8 with it; lower without)")
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/prismer_tpu_jax_cache")
 
     from prismer_tpu.models.generation import beam_search
     from prismer_tpu.models.prismer import Prismer
 
-    quick = "--quick" in sys.argv
-    model, cfg = make_model("prismer_base", quick)
-    batch = 4 if quick else 32
-    max_length = 10 if quick else 20
+    model, cfg = make_model("prismer_base", False)
+    batch = args.batch
     variables = init_variables(model, cfg, batch)
     experts_fixed = jax.jit(
         lambda s: device_experts(cfg, jax.random.key(s), batch))(jnp.int32(0))
@@ -36,73 +57,49 @@ def main():
         enc = model.apply(variables, experts, method=Prismer.encode)
         seqs, _ = beam_search(
             model, variables, enc, prompt, mask, num_beams=3,
-            max_length=max_length, min_length=8,
-            length_penalty=1.0, eos_token_id=cfg.decoder.eos_token_id,
+            max_length=20, min_length=8, length_penalty=1.0,
+            eos_token_id=cfg.decoder.eos_token_id,
             pad_token_id=cfg.decoder.pad_token_id)
-        return jnp.sum(seqs, dtype=jnp.int32)
+        return jnp.sum(seqs, dtype=jnp.int32).astype(jnp.float32)
 
-    @jax.jit
-    def program(variables, experts, seed):
-        def body(c, i):
-            key = jax.random.fold_in(jax.random.key(seed), i)
-            return c + one_pass(variables, experts, key), None
-        out, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(4))
-        return out
+    def make_program(iters):
+        @jax.jit
+        def program(variables, experts, seed):
+            def body(c, i):
+                key = jax.random.fold_in(jax.random.key(seed), i)
+                if args.perturb:
+                    eps = 1.0 + 1e-6 * (i + 1).astype(jnp.float32)
+                    experts_i = jax.tree.map(
+                        lambda x: x * eps
+                        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                        experts)
+                else:
+                    experts_i = experts
+                return c + one_pass(variables, experts_i, key), None
+            out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
+            return out
+        return program
 
-    compiled = program.lower(variables, experts_fixed, jnp.int32(0)).compile()
-    hlo = compiled.as_text()
-    with open("/tmp/bench_hlo.txt", "w") as f:
-        f.write(hlo)
-    print(f"HLO dumped: {len(hlo)} chars -> /tmp/bench_hlo.txt")
+    ts = {}
+    for iters in (1, 8):
+        program = make_program(iters)
+        t0 = time.perf_counter()
+        timed_value(program, variables, experts_fixed, jnp.int32(0))
+        print(f"# iters={iters}: compile+first "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+        best = min(timed_value(program, variables, experts_fixed,
+                               jnp.int32(r + 1))[0]
+                   for r in range(args.repeats))
+        ts[iters] = best
+        print(f"iters={iters}: {best * 1000:.1f} ms total", flush=True)
 
-    # parse computations and build a call graph, then check reachability of
-    # convolution ops from each while-loop body
-    comp = None
-    conv_comps = {}
-    refs = {}
-    while_bodies = []
-    entry = None
-    for line in hlo.splitlines():
-        m = re.match(r"^(ENTRY )?%?([\w\.\-]+)(?:\.v\d+)? \(.*\{", line)
-        if m:
-            comp = m.group(2)
-            refs.setdefault(comp, set())
-            if m.group(1):
-                entry = comp
-            continue
-        if comp is None:
-            continue
-        if "convolution(" in line:
-            conv_comps[comp] = conv_comps.get(comp, 0) + 1
-        for r in re.findall(r"(?:calls=|to_apply=|body=|condition=)%?([\w\.\-]+)", line):
-            refs[comp].add(r)
-        wm = re.search(r"body=%?([\w\.\-]+)", line)
-        if wm and " while(" in line:
-            while_bodies.append((comp, wm.group(1)))
-
-    def reachable(start):
-        seen, stack = set(), [start]
-        while stack:
-            c = stack.pop()
-            if c in seen:
-                continue
-            seen.add(c)
-            stack.extend(refs.get(c, ()))
-        return seen
-
-    print("while loops (in computation -> body):", while_bodies)
-    total_convs = sum(conv_comps.values())
-    inside = 0
-    for _, body in while_bodies:
-        r = reachable(body)
-        inside += sum(n for c, n in conv_comps.items() if c in r)
-    print(f"convolution ops: total={total_convs}, "
-          f"reachable from while bodies={inside}")
-    if total_convs and not inside:
-        print("VERDICT: encoder HOISTED out of the scan "
-              "(bench amortization invalid)")
-    elif inside:
-        print("VERDICT: encoder runs inside the loop (bench valid)")
+    ratio = ts[8] / ts[1]
+    print(f"t(8)/t(1) = {ratio:.2f}")
+    if ratio < 6.0:
+        print("VERDICT: work is AMORTIZED across iterations "
+              "(hoisting; fixed-input scan timing is invalid)")
+    else:
+        print("VERDICT: per-iteration work is honest")
 
 
 if __name__ == "__main__":

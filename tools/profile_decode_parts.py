@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--min_length", type=int, default=20,
+                    help="min_length == max_length pins the while-loop trip "
+                         "count so every ablated variant runs all 16 steps")
     ap.add_argument("--variants", nargs="+",
                     default=["base", "nocross", "noself", "nolmhead"])
     args = ap.parse_args()
@@ -83,7 +86,7 @@ def main():
             enc = model.apply(variables, experts, method=Prismer.encode)
             seqs, _ = beam_search(
                 model, variables, enc, prompt, mask, num_beams=3,
-                max_length=20, min_length=8, length_penalty=1.0,
+                max_length=20, min_length=args.min_length, length_penalty=1.0,
                 eos_token_id=cfg.decoder.eos_token_id,
                 pad_token_id=cfg.decoder.pad_token_id)
             return jnp.sum(seqs, dtype=jnp.int32).astype(jnp.float32)
