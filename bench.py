@@ -282,8 +282,10 @@ def main():
     ap.add_argument("--task", default="caption", choices=["caption", "vqa"])
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-baseline", action="store_true")
-    ap.add_argument("--iters", type=int, default=4,
-                    help="pipeline iterations inside the timed program")
+    ap.add_argument("--iters", type=int, default=10,
+                    help="pipeline iterations inside the timed program "
+                         "(each timed dispatch pays one ~40 ms relay round "
+                         "trip; more iterations amortize it)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--params_dtype", default="float32",
                     choices=["bfloat16", "float32"],

@@ -184,7 +184,7 @@ def beam_search(model: Prismer, variables: Dict[str, Any],
                      + jnp.arange(b)[:, None] * k).reshape(-1)  # (B*K,)
         cache = dict(
             st.cache,
-            self_k=jnp.take(st.cache["self_k"], flat_beam, axis=1),
+            self_kt=jnp.take(st.cache["self_kt"], flat_beam, axis=1),
             self_v=jnp.take(st.cache["self_v"], flat_beam, axis=1))
 
         pos_ids = (st.prompt_nonpad[:, None] + (st.index - p) + 1

@@ -57,7 +57,14 @@ ACTIVATIONS: dict[str, Callable[[jax.Array], jax.Array]] = {
 
 def fp32_layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
                     eps: float = 1e-5) -> jax.Array:
-    """LayerNorm computed in fp32, result cast back to x.dtype (utils.py:14-19)."""
+    """LayerNorm computed in fp32, result cast back to x.dtype (utils.py:14-19).
+
+    A fused Pallas LayerNorm exists (ops/layer_norm.py) and was measured
+    end-to-end at b32: NO win (233.8 vs 231.5 ms/iter full pipeline) — the
+    trace showed 27 ms of LN fusions, but those overlap with other device
+    work, so replacing them with pallas_calls (which serialize at the
+    custom-call boundary) buys nothing. Kept as a documented experiment;
+    this XLA formulation stays the production path."""
     orig_dtype = x.dtype
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)

@@ -94,6 +94,21 @@ class SelfAttentionCore(nn.Module):
         q = self.project_q(hidden)
         return merge_heads(dot_product_attention(q, k, v, mask_bias))
 
+    def attend_t(self, hidden: jax.Array, kt: jax.Array, v: jax.Array,
+                 mask_bias: Optional[jax.Array]) -> jax.Array:
+        """Attention against a PRE-TRANSPOSED cached K (B, H, Dh, T) and
+        natural V (B, H, T, Dh) — both matmuls MXU-layout-native, no per-step
+        HBM transpose (same rationale as attend_grouped)."""
+        q = self.project_q(hidden)                 # (B, H, 1, Dh)
+        dh = q.shape[-1]
+        s = jnp.einsum("bhqd,bhdt->bhqt", q, kt,
+                       preferred_element_type=jnp.float32) / (dh ** 0.5)
+        if mask_bias is not None:
+            s = s + mask_bias.astype(jnp.float32)
+        probs = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bhqt,bhtd->bhqd", probs.astype(v.dtype), v)
+        return merge_heads(out)
+
     def attend_grouped(self, hidden: jax.Array, kt: jax.Array, v: jax.Array,
                        beams: int) -> jax.Array:
         """Beam-grouped cross-attention: queries (B*beams, P, D) against
@@ -204,27 +219,35 @@ class DecoderLayer(nn.Module):
             hidden = self.cross_out(h, hidden)
             hidden = self.adaptor(hidden)
         hidden = self.mlp(hidden)
-        b, nh, l, dh = k.shape
-        pad = [(0, 0), (0, 0), (0, max_len - l), (0, 0)]
-        return hidden, jnp.pad(k, pad), jnp.pad(v, pad)
+        pad = [(0, 0), (0, 0), (0, max_len - k.shape[2]), (0, 0)]
+        # self-K cached pre-transposed, same layout rationale as cross-K
+        return hidden, jnp.pad(k, pad).transpose(0, 1, 3, 2), jnp.pad(v, pad)
 
-    def decode_step(self, hidden: jax.Array, index: jax.Array,
-                    k_cache: jax.Array, v_cache: jax.Array,
-                    key_mask_bias: jax.Array,
-                    cross_kt: Optional[jax.Array], cross_v: Optional[jax.Array],
-                    beams: int = 1) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        """One-token step: write K/V at `index`, attend over the whole cache."""
+    def project_step_kv(self, hidden: jax.Array
+                        ) -> Tuple[jax.Array, jax.Array]:
+        """This step's self K/V columns: (B, H, Dh, 1) transposed-K layout
+        and (B, H, 1, Dh) natural V — written into the stacked cache by the
+        caller (one fused in-place update per tensor instead of a per-layer
+        slice + re-stack, which the trace showed as thousands of tiny
+        copy/update ops per decode pass)."""
         k_new, v_new = self.self_attn.project_kv(hidden)  # (B,H,1,Dh)
-        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, index, axis=2)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, index, axis=2)
-        h = self.self_attn.attend(hidden, k_cache, v_cache, key_mask_bias)
+        return k_new.transpose(0, 1, 3, 2), v_new
+
+    def decode_attend(self, hidden: jax.Array,
+                      kt_cache: jax.Array, v_cache: jax.Array,
+                      key_mask_bias: jax.Array,
+                      cross_kt: Optional[jax.Array],
+                      cross_v: Optional[jax.Array],
+                      beams: int = 1) -> jax.Array:
+        """One-token step over an already-updated cache slice."""
+        h = self.self_attn.attend_t(hidden, kt_cache, v_cache, key_mask_bias)
         hidden = self.self_out(h, hidden)
         if self.with_cross:
             h = self.cross_attn.attend_grouped(hidden, cross_kt, cross_v,
                                                beams)
             hidden = self.cross_out(h, hidden)
             hidden = self.adaptor(hidden)
-        return self.mlp(hidden), k_cache, v_cache
+        return self.mlp(hidden)
 
     def project_cross_kv(self, encoder_hidden_states: jax.Array):
         return self.cross_attn.project_kv(encoder_hidden_states)
@@ -338,23 +361,23 @@ class RobertaCausalDecoder(nn.Module):
         hidden = self.embeddings(input_ids, position_ids)
         enc = encoder_hidden_states.astype(self.dtype)
 
-        ks, vs, ckts, cvs = [], [], [], []
+        kts, vs, ckts, cvs = [], [], [], []
         for layer in self.layers:
             ck, cv = layer.project_cross_kv(enc)
             ckt = ck.transpose(0, 1, 3, 2)  # (B, H, Dh, L) — see
             ckts.append(ckt)                # attend_grouped layout note
             cvs.append(cv)
-            hidden, k, v = layer.prefill(hidden, attention_mask, ckt, cv,
-                                         max_len, beams)
-            ks.append(k)
+            hidden, kt, v = layer.prefill(hidden, attention_mask, ckt, cv,
+                                          max_len, beams)
+            kts.append(kt)
             vs.append(v)
-        hidden, k, v = self.output_layer.prefill(hidden, attention_mask, None, None, max_len)
-        ks.append(k)
+        hidden, kt, v = self.output_layer.prefill(hidden, attention_mask, None, None, max_len)
+        kts.append(kt)
         vs.append(v)
 
         logits = self.lm_head(hidden[:, -1:, :], self.embeddings.word_embeddings)
         cache = {
-            "self_k": jnp.stack(ks), "self_v": jnp.stack(vs),
+            "self_kt": jnp.stack(kts), "self_v": jnp.stack(vs),
             "cross_kt": jnp.stack(ckts), "cross_v": jnp.stack(cvs),
         }
         return logits[:, 0, :], cache
@@ -368,25 +391,34 @@ class RobertaCausalDecoder(nn.Module):
         position_ids: RoBERTa position ids for these tokens; key_mask:
         (B*beams, max_len) {0,1} validity of every cache slot (after this
         token is written). The cached cross K/V are per-sample (B rows).
-        Returns (next-token logits, updated cache)."""
+        Returns (next-token logits, updated cache).
+
+        The self caches stay STACKED over layers — (NL, B, H, Dh, T) for the
+        transposed K, (NL, B, H, T, Dh) for V — and each layer writes its
+        one-token column in place with a single dynamic_update_slice. The
+        previous per-layer slice + end-of-step jnp.stack re-materialized the
+        whole 38 MB cache twice per step (the trace showed it as thousands
+        of copy / update-slice fragments)."""
         hidden = self.embeddings(token_ids[:, None], position_ids[:, None])
         key_bias = ((1.0 - key_mask.astype(jnp.float32)) * NEG_INF)[:, None, None, :]
 
-        new_k, new_v = [], []
-        for i, layer in enumerate(self.layers):
-            hidden, k, v = layer.decode_step(
-                hidden, index, cache["self_k"][i], cache["self_v"][i],
-                key_bias, cache["cross_kt"][i], cache["cross_v"][i], beams)
-            new_k.append(k)
-            new_v.append(v)
-        hidden, k, v = self.output_layer.decode_step(
-            hidden, index, cache["self_k"][-1], cache["self_v"][-1],
-            key_bias, None, None)
-        new_k.append(k)
-        new_v.append(v)
+        self_kt, self_v = cache["self_kt"], cache["self_v"]
+        zero = jnp.zeros((), jnp.int32)
+        all_layers = list(self.layers) + [self.output_layer]
+        for i, layer in enumerate(all_layers):
+            kt_new, v_new = layer.project_step_kv(hidden)
+            li = jnp.asarray(i, jnp.int32)
+            self_kt = jax.lax.dynamic_update_slice(
+                self_kt, kt_new[None], (li, zero, zero, zero, index))
+            self_v = jax.lax.dynamic_update_slice(
+                self_v, v_new[None], (li, zero, zero, index, zero))
+            cross_kt = cache["cross_kt"][i] if layer.with_cross else None
+            cross_v = cache["cross_v"][i] if layer.with_cross else None
+            hidden = layer.decode_attend(hidden, self_kt[i], self_v[i],
+                                         key_bias, cross_kt, cross_v, beams)
 
         logits = self.lm_head(hidden, self.embeddings.word_embeddings)
-        cache = dict(cache, self_k=jnp.stack(new_k), self_v=jnp.stack(new_v))
+        cache = dict(cache, self_kt=self_kt, self_v=self_v)
         return logits[:, 0, :], cache
 
 

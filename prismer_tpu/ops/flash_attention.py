@@ -30,11 +30,13 @@ HBM per layer per step; this one never does.
 Masking supports key-padding masks and causal masking without ever
 materializing (L, L) bias tensors in HBM.
 
-TPU precision note: these kernels run every matmul with
-preferred_element_type=float32, so on-chip they are MORE accurate than the
-XLA reference path under JAX's default matmul precision (bf16 inputs):
-measured max-abs grad deltas vs the reference drop from ~6e-2 to ~5e-4 when
-the reference is forced to float32 precision.
+TPU precision note: matmuls run on NATIVE-dtype operands (bf16 in the bf16
+model) with fp32 accumulation and fp32 softmax statistics — the standard
+flash-attention recipe, and the same multiply precision as the reference's
+fp16 AMP path. (An earlier revision cast operands to fp32 before every dot;
+that forced the MXU into its ~4x slower fp32 mode and made encoder attention
+compute-bound at 2.83 ms/layer — 45 ms of the b32 encode. With fp32 INPUTS
+the dots still run in full fp32.)
 """
 
 from __future__ import annotations
@@ -68,10 +70,33 @@ def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
+_LOG2E = 1.4426950408889634
+
+
+def _exp(x):
+    """exp via exp2 — the VPU's native exponent base. The softmax is the
+    kernel's bottleneck (L^2 transcendentals per head vs L*D^2/head matmul
+    FLOPs at Dh=64), so the exponent's op count matters."""
+    return jnp.exp2(x * _LOG2E)
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
-                  *, scale: float, block_k: int, causal: bool):
-    """One (batch*head, q-block) program. k/v live fully in VMEM."""
-    q = q_ref[0].astype(jnp.float32)          # (BQ, D)
+                  *, scale: float, block_k: int, causal: bool,
+                  valid_lk: int = 0):
+    """One (batch*head, q-block) program. k/v live fully in VMEM.
+
+    Matmuls run on NATIVE-dtype operands (bf16 in the bf16 model) with fp32
+    accumulation; softmax statistics stay fp32 (the model's fp32 softmax
+    island, roberta.py:118-121) — bf16 multiplies match the reference's
+    fp16-AMP matmul precision.
+
+    mask_ref may be None (mask-free fast path, non-causal only): no mask
+    tensor is loaded or applied; the final PARTIAL k-block, if any, is
+    handled outside the main loop with a static iota mask over the k-padding
+    (valid_lk = true key length). The where-pass over the (BQ, BK) scores is
+    pure VPU work on the kernel's critical path, and the encoder's
+    self-attention has no padding to mask."""
+    q = q_ref[0]                               # (BQ, D) native dtype
     lk = k_ref.shape[1]
     bq = q.shape[0]
     n_kb = lk // block_k
@@ -79,43 +104,61 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     qi = pl.program_id(1)
     q_start = qi * bq
 
-    def body(kb, carry):
-        acc, m, l = carry  # acc (BQ, D); m/l (BQ, 1) — 2D for TPU layout
-        ks = kb * block_k
-        kblk = k_ref[0, pl.ds(ks, block_k), :].astype(jnp.float32)
-        vblk = v_ref[0, pl.ds(ks, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, kblk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # (BQ, BK)
+    def make_body(masked: bool, static_tail: bool):
+        def body(kb, carry):
+            acc, m, l = carry  # acc (BQ, D); m/l (BQ, 1) — 2D TPU layout
+            ks = kb * block_k
+            kblk = k_ref[0, pl.ds(ks, block_k), :]
+            vblk = v_ref[0, pl.ds(ks, block_k), :]
+            s = jax.lax.dot_general(
+                q, kblk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (BQ, BK) fp32
 
-        kmask = mask_ref[0, :, pl.ds(ks, block_k)] > 0    # (1, BK)
-        s = jnp.where(kmask, s, NEG_INF)
-        if causal:
-            rows = q_start + jax.lax.broadcasted_iota(
-                jnp.int32, (bq, block_k), 0)
-            cols = ks + jax.lax.broadcasted_iota(
-                jnp.int32, (bq, block_k), 1)
-            s = jnp.where(cols <= rows, s, NEG_INF)
+            if masked:
+                kmask = mask_ref[0, :, pl.ds(ks, block_k)] > 0   # (1, BK)
+                s = jnp.where(kmask, s, NEG_INF)
+            if static_tail:
+                cols = ks + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, block_k), 1)
+                s = jnp.where(cols < valid_lk, s, NEG_INF)
+            if causal:
+                rows = q_start + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, block_k), 0)
+                cols = ks + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, block_k), 1)
+                s = jnp.where(cols <= rows, s, NEG_INF)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p, vblk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return acc_new, m_new, l_new
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            alpha = _exp(m - m_new)
+            p = _exp(s - m_new)                           # fp32 stats
+            l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc_new = acc * alpha + jax.lax.dot_general(
+                p.astype(vblk.dtype), vblk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return acc_new, m_new, l_new
+        return body
 
     acc0 = jnp.zeros((bq, q.shape[1]), jnp.float32)
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
 
-    if causal:
+    if mask_ref is None:
+        # mask-free: full blocks run with NO mask work; a partial tail block
+        # (k-padding) is processed once with a static iota mask
+        n_full = valid_lk // block_k
+        carry = jax.lax.fori_loop(0, n_full, make_body(False, False),
+                                  (acc0, m0, l0))
+        if valid_lk % block_k:
+            carry = make_body(False, True)(n_full, carry)
+        acc, m, l = carry
+    elif causal:
         # only k-blocks up to the diagonal contribute
         last = jnp.minimum(n_kb, pl.cdiv(q_start + bq, block_k))
-        acc, m, l = jax.lax.fori_loop(0, last, body, (acc0, m0, l0))
+        acc, m, l = jax.lax.fori_loop(0, last, make_body(True, False),
+                                      (acc0, m0, l0))
     else:
-        acc, m, l = jax.lax.fori_loop(0, n_kb, body, (acc0, m0, l0))
+        acc, m, l = jax.lax.fori_loop(0, n_kb, make_body(True, False),
+                                      (acc0, m0, l0))
 
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
     # lse is stored as a (BQ, 8) lane-replicated tile: Mosaic constrains the
@@ -126,7 +169,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     lse_ref[0] = jnp.broadcast_to(lse, (bq, 8))
 
 
-def _block_sizes(lq: int, lk: int, block_q: int = 256, block_k: int = 256):
+def _block_sizes(lq: int, lk: int, block_q: int = 1024, block_k: int = 512):
+    """Defaults sized for this model's sequences (<= ~1220 tokens).
+
+    block_q=1024 puts each (batch, head)'s WHOLE query range in one program:
+    at the encoder's 964-token length a 256-token q-block made the grid 1536
+    programs, each re-reading the full K/V — per-program overhead alone was
+    ~2.8 ms/layer (measured via trace, tools/trace_breakdown.py), ~12x the
+    speed-of-light K+V read. One program per (batch, head) reads K/V exactly
+    once and amortizes the overhead."""
     bq = min(block_q, max(8, -(-lq // 8) * 8))
     bk = min(block_k, max(128, -(-lk // 128) * 128))
     return bq, bk
@@ -157,6 +208,10 @@ def _pad_inputs(q, k, v, key_mask, block_q, block_k):
     return qf, kf, vf, maskf, lq_p, lk_p
 
 
+def _maskfree_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, **kw):
+    _flash_kernel(q_ref, k_ref, v_ref, None, o_ref, lse_ref, **kw)
+
+
 def _flash_forward(q, k, v, key_mask, causal,
                    block_q: int = 256, block_k: int = 256,
                    interpret: Optional[bool] = None):
@@ -165,27 +220,39 @@ def _flash_forward(q, k, v, key_mask, causal,
     b, h, lq, d = q.shape
     lk = k.shape[2]
     block_q, block_k = _block_sizes(lq, lk, block_q, block_k)
+    mask_free = key_mask is None and not causal
     qf, kf, vf, maskf, lq_p, lk_p = _pad_inputs(q, k, v, key_mask,
                                                 block_q, block_k)
 
     grid = (b * h, lq_p // block_q)
-    kernel = functools.partial(
-        _flash_kernel, scale=1.0 / np.sqrt(d), block_k=block_k,
-        causal=causal)
+    if mask_free:
+        kernel = functools.partial(
+            _maskfree_kernel, scale=1.0 / np.sqrt(d), block_k=block_k,
+            causal=False, valid_lk=lk)
+        inputs = (qf, kf, vf)
+    else:
+        kernel = functools.partial(
+            _flash_kernel, scale=1.0 / np.sqrt(d), block_k=block_k,
+            causal=causal)
+        inputs = (qf, kf, vf, maskf)
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lk_p, d), lambda bh, qi: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lk_p, d), lambda bh, qi: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if not mask_free:
+        in_specs.append(
+            pl.BlockSpec((1, 1, lk_p), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM))
 
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_p, d), lambda bh, qi: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_p, d), lambda bh, qi: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lk_p), lambda bh, qi: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
@@ -202,7 +269,7 @@ def _flash_forward(q, k, v, key_mask, causal,
             transcendentals=b * h * lq_p * lk_p,
         ),
         interpret=interpret,
-    )(qf, kf, vf, maskf)
+    )(*inputs)
 
     out = out.reshape(b, h, lq_p, d)[:, :, :lq, :]
     return out, lse
@@ -211,8 +278,8 @@ def _flash_forward(q, k, v, key_mask, causal,
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
                    delta_ref, dq_ref, *, scale: float, block_k: int,
                    causal: bool):
-    q = q_ref[0].astype(jnp.float32)           # (BQ, D)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]                               # (BQ, D) native dtype
+    do = do_ref[0]
     lk = k_ref.shape[1]
     bq = q.shape[0]
     n_kb = lk // block_k
@@ -222,8 +289,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
 
     def body(kb, dq):
         ks = kb * block_k
-        kblk = k_ref[0, pl.ds(ks, block_k), :].astype(jnp.float32)
-        vblk = v_ref[0, pl.ds(ks, block_k), :].astype(jnp.float32)
+        kblk = k_ref[0, pl.ds(ks, block_k), :]
+        vblk = v_ref[0, pl.ds(ks, block_k), :]
         s = jax.lax.dot_general(q, kblk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         kmask = mask_ref[0, :, pl.ds(ks, block_k)] > 0
@@ -234,12 +301,12 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
             cols = ks + jax.lax.broadcasted_iota(
                 jnp.int32, (bq, block_k), 1)
             s = jnp.where(cols <= rows, s, NEG_INF)
-        p = jnp.exp(s - lse)                                  # (BQ, BK)
+        p = _exp(s - lse)                                  # (BQ, BK) fp32
         dp = jax.lax.dot_general(do, vblk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
         return dq + jax.lax.dot_general(
-            ds, kblk, (((1,), (0,)), ((), ())),
+            ds.astype(kblk.dtype), kblk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
 
     dq0 = jnp.zeros((bq, q.shape[1]), jnp.float32)
@@ -252,8 +319,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
                     delta_ref, dk_ref, dv_ref, *, scale: float,
                     block_q: int, causal: bool):
-    kblk = k_ref[0].astype(jnp.float32)        # (BK, D)
-    vblk = v_ref[0].astype(jnp.float32)
+    kblk = k_ref[0]                            # (BK, D) native dtype
+    vblk = v_ref[0]
     kmask = mask_ref[0]                        # (1, BK)
     lq = q_ref.shape[1]
     bk = kblk.shape[0]
@@ -263,8 +330,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
     def body(qb, carry):
         dk, dv = carry
         qs = qb * block_q
-        q = q_ref[0, pl.ds(qs, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(qs, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(qs, block_q), :]
+        do = do_ref[0, pl.ds(qs, block_q), :]
         lse = lse_ref[0, pl.ds(qs, block_q), :][:, 0:1]
         delta = delta_ref[0, pl.ds(qs, block_q), :][:, 0:1]
         s = jax.lax.dot_general(q, kblk, (((1,), (1,)), ((), ())),
@@ -276,15 +343,15 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
             cols = ks + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, bk), 1)
             s = jnp.where(cols <= rows, s, NEG_INF)
-        p = jnp.exp(s - lse)                                  # (BQ, BK)
+        p = _exp(s - lse)                                  # (BQ, BK) fp32
         dv = dv + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)               # (BK, D)
         dp = jax.lax.dot_general(do, vblk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
         dk = dk + jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         return dk, dv
 
