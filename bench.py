@@ -12,7 +12,11 @@ timing lies):
   * inputs are generated ON DEVICE from a per-call seed (no host uploads in
     the timed region, no dispatch-cache hits)
   * the whole pipeline is ONE jit program; N pipeline iterations run inside
-    a lax.scan to amortize the ~50 ms relay round trip
+    a lax.scan to amortize the ~40 ms relay round trip
+  * every float input is scaled by an iteration-dependent factor inside the
+    scan: XLA's loop-invariant code motion otherwise hoists the ENTIRE
+    ENCODER out of the loop and inflates img/s ~1.8x (discovered round 2 —
+    verified by t(8)/t(1) linearity, tools/check_hoisting.py)
 
 `vs_baseline` is measured, not assumed: the baseline program is the
 *reference's decode algorithm* — no KV cache, the full decoder re-runs over
@@ -25,10 +29,13 @@ Prints ONE JSON line (headline = best batch of the sweep):
    "batch": B, "sweep": {"8": ..., "16": ..., "32": ...},
    "tflops_per_sec": N, "mfu": N}
 
-TFLOP/s and MFU come from the compiled program's own XLA cost analysis
-(flops the pipeline actually executes, encoder + all cached decode steps,
-divided by measured wall time and the chip's peak bf16 FLOP/s) — so the
-perf claim stands without the pattern-baseline.
+TFLOP/s and MFU come from ANALYTIC model FLOPs (305 GFLOP/image at
+Prismer-BASE 480px beam-3/max-20) over measured wall time and the chip's
+peak bf16 FLOP/s — XLA's cost analysis undercounts this program ~4x (Pallas
+custom calls report no flops; while-loop bodies are counted once, not per
+trip); it is kept as `tflops_xla` for contrast. Calibration point: a plain
+8192^3 bf16 matmul achieves 147.5 TFLOP/s on this chip (75% of the 197
+nominal peak).
 """
 
 import argparse
@@ -265,11 +272,118 @@ def vqa_latency(args):
         t, _ = timed_value(run, variables, experts, q2, jnp.int32(r + 1))
         times.append(t)
     p50 = float(np.median(times))
+
+    # every timed dispatch through this environment's relay pays a fixed
+    # ~40 ms host round trip that would not exist in deployment (the chip is
+    # driven through a tunnel). Measure it with a null program using the
+    # same readback pattern and report the device-side latency, with the
+    # overhead recorded alongside.
+    @jax.jit
+    def null_run(seed):
+        return jnp.sum(seed)
+
+    timed_value(null_run, jnp.int32(0))
+    null_times = [timed_value(null_run, jnp.int32(r + 1))[0]
+                  for r in range(5)]
+    overhead = float(np.median(null_times))
     print(json.dumps({
         "metric": "prismer_base_vqa_rank_k16_480px_p50_latency",
-        "value": round(p50 * 1000, 2),
+        "value": round((p50 - overhead) * 1000, 2),
         "unit": "ms/image",
         "vs_baseline": None,
+        "relay_overhead_ms": round(overhead * 1000, 2),
+        "p50_including_relay_ms": round(p50 * 1000, 2),
+    }), flush=True)
+
+
+def train_throughput(args):
+    """Caption fine-tune training-step throughput (img/s/chip): full
+    6-expert 480px batch, freeze_vision partition (configs/caption.yaml),
+    AdamW + per-layer remat — the reference's fine-tune hot loop
+    (train_caption.py:126-136) as one jitted step. Each timed call pays one
+    relay round trip; the measured null-program overhead is subtracted."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from prismer_tpu.train import build_train_step
+    from prismer_tpu.train.optim import freeze_labels, make_optimizer
+    from prismer_tpu.train.state import TrainState
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/prismer_tpu_jax_cache")
+    model, cfg = make_model(args.model, args.quick)
+    variables = init_variables(model, cfg, 1)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    mode = "none" if args.quick else "freeze_vision"
+    labels = freeze_labels(params, mode) if mode != "none" else None
+    tx = make_optimizer(optax.constant_schedule(1e-5), 0.05, params, mode)
+    state = TrainState.create(params=params, tx=tx,
+                              batch_stats=batch_stats,
+                              rng=jax.random.key(0))
+    state = jax.device_put(state, jax.devices()[0])
+    step_fn = build_train_step(model, tx, freeze_tree=labels, donate=False)
+
+    seq_len = 30  # caption max_length (prismer_caption.py:21)
+    batches = [args.batch] if args.batch else [8, 16]
+    if args.quick:
+        batches, seq_len = batches[:1], 8
+
+    @jax.jit
+    def null_run(seed):
+        return jnp.sum(seed)
+
+    timed_value(null_run, jnp.int32(0))
+    overhead = float(np.median(
+        [timed_value(null_run, jnp.int32(r + 1))[0] for r in range(5)]))
+
+    def make_batch(batch, seed):
+        @jax.jit
+        def gen(seed):
+            key = jax.random.key(seed)
+            experts = device_experts(cfg, key, batch)
+            ids = jax.random.randint(jax.random.fold_in(key, 1),
+                                     (batch, seq_len), 4,
+                                     cfg.decoder.vocab_size)
+            targets = ids.at[:, :4].set(-100)
+            return {"experts": experts, "input_ids": ids,
+                    "attention_mask": jnp.ones((batch, seq_len), jnp.int32),
+                    "targets": targets}
+        return gen(jnp.int32(seed))
+
+    sweep, best = {}, None
+    for b in batches:
+        batch0 = make_batch(b, 0)
+        t0 = time.perf_counter()
+        state2, m = step_fn(state, batch0)
+        float(m["loss"])
+        print(f"# train b{b} compile+first: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr, flush=True)
+        times = []
+        for r in range(max(args.repeats, 3)):
+            batch_r = make_batch(b, r + 1)
+            t0 = time.perf_counter()
+            state2, m = step_fn(state2, batch_r)
+            float(m["loss"])
+            times.append(time.perf_counter() - t0)
+        t_step = max(min(times) - overhead, 1e-9)
+        ips = b / t_step
+        sweep[str(b)] = round(ips, 2)
+        print(f"# train b{b}: {ips:.1f} img/s ({t_step * 1000:.0f} ms/step)",
+              file=sys.stderr, flush=True)
+        if best is None or ips > best[0]:
+            best = (ips, b, t_step)
+
+    print(json.dumps({
+        "metric": "prismer_base_caption_freeze_vision_train_images_per_sec_per_chip",
+        "value": round(best[0], 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "batch": best[1],
+        "step_ms": round(best[2] * 1000, 1),
+        "sweep": sweep,
+        "relay_overhead_ms": round(overhead * 1000, 2),
     }), flush=True)
 
 
@@ -279,7 +393,8 @@ def main():
                     help="single batch size (overrides --batches)")
     ap.add_argument("--batches", type=int, nargs="+", default=[8, 16, 32, 64])
     ap.add_argument("--model", default="prismer_base")
-    ap.add_argument("--task", default="caption", choices=["caption", "vqa"])
+    ap.add_argument("--task", default="caption",
+                    choices=["caption", "vqa", "train"])
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--iters", type=int, default=10,
@@ -287,11 +402,16 @@ def main():
                          "(each timed dispatch pays one ~40 ms relay round "
                          "trip; more iterations amortize it)")
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--params_dtype", default="float32",
+    ap.add_argument("--params_dtype", default="bfloat16",
                     choices=["bfloat16", "float32"],
-                    help="bf16 weight storage measured ~2%% SLOWER at b32 "
-                         "(210.7 vs 215.8 img/s) — the pipeline is not "
-                         "weight-bound; kept as an option")
+                    help="bf16 weight storage (serving mode) measured +8%% "
+                         "at b32 under honest timing (144.1 vs 130.0 img/s "
+                         "incl. the iters amortization) -- halves decode "
+                         "weight HBM traffic; matmul numerics identical "
+                         "(the bf16 compute path casts weights per-op "
+                         "anyway), LN scales bf16-rounded. An earlier "
+                         "'slower' verdict came from the invalid "
+                         "(encoder-hoisted) timing.")
     args = ap.parse_args()
 
     if args.task == "vqa":
@@ -299,6 +419,9 @@ def main():
         jax.config.update("jax_compilation_cache_dir",
                           "/tmp/prismer_tpu_jax_cache")
         vqa_latency(args)
+        return
+    if args.task == "train":
+        train_throughput(args)
         return
 
     import jax

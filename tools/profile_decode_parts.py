@@ -5,8 +5,16 @@ caption pipeline on the chip.
 Variants:
   base      unmodified pipeline
   nocross   beam-grouped cross-attention -> identity (keeps out-proj)
-  noself    cached self-attention -> identity (keeps q/kv proj + cache write)
+  noself    cached self-attention (attend_t) -> identity (keeps q/kv proj +
+            cache write)
   nolmhead  LM head -> pad(hidden) to vocab (removes the 768xV matmul)
+  notopk    lax.top_k -> static slice (bounds the beam bookkeeping cost;
+            changes selection semantics, shapes stay legal)
+
+History (b32, honest anti-hoisting timing, full-pipeline ms/iter):
+  2026-08-16 pre-restructure (decode ~97 ms): nocross share 67.0,
+  noself 51.0, nolmhead 3.6 — shares overlap (sum > decode total);
+  measured via the then-live `attend` path.
 
 The difference base - variant bounds that component's share of decode time
 (prefill is mildly affected too; it is ~7% of the total).
@@ -32,7 +40,8 @@ def main():
                     help="min_length == max_length pins the while-loop trip "
                          "count so every ablated variant runs all 16 steps")
     ap.add_argument("--variants", nargs="+",
-                    default=["base", "nocross", "noself", "nolmhead"])
+                    default=["base", "nocross", "noself", "nolmhead",
+                             "notopk"])
     args = ap.parse_args()
 
     import jax
@@ -56,19 +65,28 @@ def main():
     experts_fixed = jax.tree.map(lambda x: x, make_inputs(jnp.int32(42)))
 
     orig_grouped = rb.SelfAttentionCore.attend_grouped
-    orig_attend = rb.SelfAttentionCore.attend
+    orig_attend_t = rb.SelfAttentionCore.attend_t
     orig_lmhead = rb.LMHead.__call__
+    orig_topk = jax.lax.top_k
 
     def patch(variant):
         rb.SelfAttentionCore.attend_grouped = orig_grouped
-        rb.SelfAttentionCore.attend = orig_attend
+        rb.SelfAttentionCore.attend_t = orig_attend_t
         rb.LMHead.__call__ = orig_lmhead
+        jax.lax.top_k = orig_topk
         if variant == "nocross":
             rb.SelfAttentionCore.attend_grouped = (
                 lambda self, hidden, k, v, beams: hidden)
         elif variant == "noself":
-            rb.SelfAttentionCore.attend = (
-                lambda self, hidden, k, v, bias: hidden)
+            rb.SelfAttentionCore.attend_t = (
+                lambda self, hidden, kt, v, bias: hidden)
+        elif variant == "notopk":
+            def fake_topk(x, kk):
+                vals = jax.lax.slice_in_dim(x, 0, kk, axis=-1)
+                idx = jnp.broadcast_to(jnp.arange(kk, dtype=jnp.int32),
+                                       vals.shape)
+                return vals, idx
+            jax.lax.top_k = fake_topk
         elif variant == "nolmhead":
             def fake_lmhead(self, hidden, word_embeddings):
                 v = self.cfg.vocab_size
