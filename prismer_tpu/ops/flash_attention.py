@@ -169,17 +169,33 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     lse_ref[0] = jnp.broadcast_to(lse, (bq, 8))
 
 
-def _block_sizes(lq: int, lk: int, block_q: int = 1024, block_k: int = 512):
-    """Defaults sized for this model's sequences (<= ~1220 tokens).
+def _block_sizes(lq: int, lk: int, block_q: Optional[int] = None,
+                 block_k: Optional[int] = None):
+    """Block policy, swept on the v5e at the encoder's hot shape
+    (32x12x964x64 bf16, tools/bench_flash_attn.py --blocks):
 
-    block_q=1024 puts each (batch, head)'s WHOLE query range in one program:
-    at the encoder's 964-token length a 256-token q-block made the grid 1536
-    programs, each re-reading the full K/V — per-program overhead alone was
-    ~2.8 ms/layer (measured via trace, tools/trace_breakdown.py), ~12x the
-    speed-of-light K+V read. One program per (batch, head) reads K/V exactly
-    once and amortizes the overhead."""
-    bq = min(block_q, max(8, -(-lq // 8) * 8))
-    bk = min(block_k, max(128, -(-lk // 128) * 128))
+        bq x bk   968x1024  512x512  256x512  512x1024  256x256
+        ms/call       3.77     4.16     4.61      6.28     6.20
+
+    Whole-Q x whole-K wins decisively: one program per (batch, head), K/V
+    read exactly once, and a SINGLE k-iteration needs no online-softmax
+    rescale (no alpha pass over the accumulator). (An earlier revision
+    accidentally ran 256x256 — callers passed their own 256 defaults over
+    this function's — costing 2.4 ms/layer x 12 encoder layers.)
+
+    When K does not fit one block (lk_p > 1024), pick the k-block from
+    {512, 256, 128} minimizing padding (larger wins ties): the resampler's
+    ~1240-token keys pad to 1280 with bk=256 (3%) vs 1536 with bk=512 (24%).
+    """
+    bq = min(block_q or 1024, max(8, -(-lq // 8) * 8))
+    lk_p = max(128, -(-lk // 128) * 128)
+    if block_k is not None:
+        bk = min(block_k, lk_p)
+    elif lk_p <= 1024:
+        bk = lk_p
+    else:
+        bk = min((b for b in (512, 256, 128)),
+                 key=lambda b: ((-lk % b), -b))
     return bq, bk
 
 
@@ -213,7 +229,8 @@ def _maskfree_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, **kw):
 
 
 def _flash_forward(q, k, v, key_mask, causal,
-                   block_q: int = 256, block_k: int = 256,
+                   block_q: Optional[int] = None,
+                   block_k: Optional[int] = None,
                    interpret: Optional[bool] = None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -363,7 +380,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
 
 
 def _flash_backward(q, k, v, key_mask, causal, lse, o, do,
-                    block_q: int = 256, block_k: int = 256,
+                    block_q: Optional[int] = None,
+                    block_k: Optional[int] = None,
                     interpret: Optional[bool] = None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"

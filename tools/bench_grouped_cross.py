@@ -1,0 +1,162 @@
+"""Microbenchmark of the decode-time beam-grouped cross-attention chain —
+the largest decode component (ablation share 69.4 ms of the b32 pipeline,
+tools/profile_decode_parts.py 2026-08-16).
+
+Mimics the real decode traffic pattern: STEPS sequential decode steps, each
+running NL layer-chained grouped cross-attentions against per-layer stacked
+caches kt (NL, B, H, Dh, L) / v (NL, B, H, L, Dh), with the layer input
+depending on the previous layer's output (no cross-layer parallelism, as in
+the real network). Speed of light = reading kt+v once per layer per step:
+NL * STEPS * 2 * B*H*Dh*L * 2 bytes = 18.1 GB at the default shape
+-> ~22 ms at the v5e's 819 GB/s.
+
+Variants:
+  xla         the production einsum chain (models/roberta.py attend_grouped)
+  pallas      bf16-operand kernel, grid (B,), heads unrolled in-kernel
+              (the round-2 rejected kernel used fp32 operand casts)
+  --loop while  run the step loop as lax.while_loop (the real decode loop)
+              instead of lax.scan, to expose any custom-call serialization
+              specific to while bodies
+
+Usage: python tools/bench_grouped_cross.py [--variants xla pallas] \
+           [--loop scan|while]
+"""
+
+import argparse
+import functools
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", type=int, nargs=5, default=[32, 12, 3, 64, 964],
+                    help="B H beams Dh L")
+    ap.add_argument("--layers", type=int, default=12)
+    ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--variants", nargs="+", default=["xla", "pallas"])
+    ap.add_argument("--loop", choices=["scan", "while"], default="scan")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, beams, dh, l = args.shape
+    nl, steps = args.layers, args.steps
+    scale = 1.0 / np.sqrt(dh)
+
+    make = jax.jit(lambda s: (
+        jax.random.normal(jax.random.key(s), (nl, b, h, dh, l),
+                          jnp.bfloat16),
+        jax.random.normal(jax.random.fold_in(jax.random.key(s), 1),
+                          (nl, b, h, l, dh), jnp.bfloat16),
+        jax.random.normal(jax.random.fold_in(jax.random.key(s), 2),
+                          (b, h, beams, dh), jnp.bfloat16)))
+    kt_all, v_all, q0 = make(0)
+
+    def xla_layer(q, kt, v):
+        s = jnp.einsum("bhqd,bhdl->bhql", q, kt,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+        return jnp.einsum("bhql,bhld->bhqd", p.astype(v.dtype), v)
+
+    qp = max(8, -(-beams // 8) * 8)
+    lp = -(-l // 128) * 128
+
+    def kernel(q_ref, kt_ref, v_ref, o_ref):
+        for hh in range(h):  # static unroll; bf16 operands, fp32 accum
+            q = q_ref[0, hh]                     # (Qp, Dh) bf16
+            kt = kt_ref[0, hh]                   # (Dh, Lp) bf16
+            vv = v_ref[0, hh]                    # (Lp, Dh) bf16
+            s = jax.lax.dot_general(
+                q, kt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale   # (Qp, Lp)
+            if l < lp:
+                cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(cols < l, s, -1e9)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp2((s - m) * 1.4426950408889634)
+            denom = jnp.sum(p, axis=1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(vv.dtype), vv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[0, hh] = (o / jnp.maximum(denom, 1e-30)).astype(o_ref.dtype)
+
+    def pallas_layer(q, kt, v):
+        if qp != beams:
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, qp - beams), (0, 0)))
+        if lp != l:
+            kt = jnp.pad(kt, ((0, 0), (0, 0), (0, 0), (0, lp - l)))
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, lp - l), (0, 0)))
+        out = pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, h, qp, dh), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, dh, lp), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, lp, dh), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, h, qp, dh), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, h, qp, dh), q.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * h * qp * lp * dh,
+                bytes_accessed=(kt.size + v.size) * 2,
+                transcendentals=b * h * qp * lp,
+            ),
+        )(q, kt, v)
+        return out[:, :, :beams, :]
+
+    layer_fns = {"xla": xla_layer, "pallas": pallas_layer}
+
+    for variant in args.variants:
+        layer = layer_fns[variant]
+
+        def step(q, i):
+            # perturb so nothing is loop-invariant
+            q = q + (1e-6 * i.astype(jnp.float32)).astype(q.dtype)
+            for li in range(nl):
+                q = layer(q, kt_all[li], v_all[li])
+            return q
+
+        @jax.jit
+        def prog(kt_all, v_all, q0, seed):
+            q0 = q0 + (1e-6 * seed.astype(jnp.float32)).astype(q0.dtype)
+            if args.loop == "scan":
+                def body(q, i):
+                    return step(q, i), None
+                q, _ = jax.lax.scan(body, q0, jnp.arange(steps))
+            else:
+                def cond(c):
+                    return c[1] < steps
+
+                def body(c):
+                    q, i = c
+                    return step(q, i), i + 1
+                q, _ = jax.lax.while_loop(cond, body, (q0, jnp.int32(0)))
+            return jnp.sum(q.astype(jnp.float32))
+
+        t0 = time.perf_counter()
+        float(prog(kt_all, v_all, q0, jnp.int32(0)))
+        print(f"# {variant}/{args.loop}: compile+first "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+        best = 1e9
+        for r in range(3):
+            t0 = time.perf_counter()
+            float(prog(kt_all, v_all, q0, jnp.int32(r + 1)))
+            best = min(best, time.perf_counter() - t0)
+        gb = nl * steps * 2 * b * h * dh * l * 2 / 1e9
+        print(f"{variant}/{args.loop}: {best * 1000:.2f} ms total "
+              f"({gb / best:.0f} GB/s effective of {gb:.1f} GB)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
