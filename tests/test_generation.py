@@ -184,3 +184,30 @@ def test_rank_answers_matches_naive(setup):
                 best_score, best_id = score, cand
         want.append(best_id)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_exact_top_k_matches_lax_top_k():
+    """exact_top_k must be bit-identical to jax.lax.top_k, tie order
+    included (lower index first on equal values)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from prismer_tpu.models.generation import exact_top_k
+
+    rng = np.random.default_rng(0)
+    # random values, plus adversarial ties: duplicated maxima, constant
+    # rows, -inf rows
+    x = rng.standard_normal((8, 997)).astype(np.float32)
+    x[0, 100] = x[0, 50] = x[0].max() + 1.0      # duplicate global max
+    x[1, :] = 0.0                                 # all-tied row
+    x[2, :] = -1.0e7                              # all-dead-beam row (the
+    # finite NEG_INF sentinel beam search actually uses; true -inf rows are
+    # out of contract -- see the exact_top_k docstring)
+    x[3, -1] = x[3].max() + 1.0                   # max at the last column
+    xj = jnp.asarray(x)
+    for kk in (1, 3, 6):
+        v_ref, i_ref = jax.lax.top_k(xj, kk)
+        v, i = exact_top_k(xj, kk)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))

@@ -10,6 +10,9 @@ Variants:
   nolmhead  LM head -> pad(hidden) to vocab (removes the 768xV matmul)
   notopk    lax.top_k -> static slice (bounds the beam bookkeeping cost;
             changes selection semantics, shapes stay legal)
+  nolayers  DecoderLayer.decode_attend -> identity (keeps embeddings,
+            per-layer step-KV projection + cache writes, LM head, beam
+            bookkeeping, loop structure — bounds the loop overhead floor)
 
 History (b32, honest anti-hoisting timing, full-pipeline ms/iter):
   2026-08-16 pre-restructure (decode ~97 ms): nocross share 67.0,
@@ -68,13 +71,18 @@ def main():
     orig_attend_t = rb.SelfAttentionCore.attend_t
     orig_lmhead = rb.LMHead.__call__
     orig_topk = jax.lax.top_k
+    orig_decode_attend = rb.DecoderLayer.decode_attend
 
     def patch(variant):
         rb.SelfAttentionCore.attend_grouped = orig_grouped
         rb.SelfAttentionCore.attend_t = orig_attend_t
         rb.LMHead.__call__ = orig_lmhead
         jax.lax.top_k = orig_topk
-        if variant == "nocross":
+        rb.DecoderLayer.decode_attend = orig_decode_attend
+        if variant == "nolayers":
+            rb.DecoderLayer.decode_attend = (
+                lambda self, hidden, kt, v, bias, ckt, cv, beams=1: hidden)
+        elif variant == "nocross":
             rb.SelfAttentionCore.attend_grouped = (
                 lambda self, hidden, k, v, beams: hidden)
         elif variant == "noself":
