@@ -122,17 +122,24 @@ class SelfAttentionCore(nn.Module):
         decode step (~1 GB/step at b32) — measured ~40% of decode time.
         Storing K^T once at prefill removes every per-step transpose: both
         matmuls below stream cache memory directly into the MXU."""
+        import os
+
         n, p, d = hidden.shape
         b = n // beams
         q = self.project_q(hidden)                 # (B*K, H, P, Dh)
         h_heads, dh = q.shape[1], q.shape[3]
         q = q.reshape(b, beams, h_heads, p, dh).transpose(0, 2, 1, 3, 4)
         q = q.reshape(b, h_heads, beams * p, dh)
-        scale = 1.0 / (dh ** 0.5)
-        s = jnp.einsum("bhqd,bhdl->bhql", q, kt,
-                       preferred_element_type=jnp.float32) * scale
-        probs = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
-        out = jnp.einsum("bhql,bhld->bhqd", probs.astype(v.dtype), v)
+        if os.environ.get("PRISMER_DECODE_CROSS") == "pallas":
+            from prismer_tpu.ops.decode_attention import \
+                grouped_cross_attention_t
+            out = grouped_cross_attention_t(q, kt, v)
+        else:
+            scale = 1.0 / (dh ** 0.5)
+            s = jnp.einsum("bhqd,bhdl->bhql", q, kt,
+                           preferred_element_type=jnp.float32) * scale
+            probs = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+            out = jnp.einsum("bhql,bhld->bhqd", probs.astype(v.dtype), v)
         out = out.reshape(b, h_heads, beams, p, dh).transpose(0, 2, 1, 3, 4)
         return merge_heads(out.reshape(n, h_heads, p, dh))
 

@@ -26,6 +26,16 @@ could amortize the invocation cost.
 
 Inference-only (the training path uses full-sequence flash attention), so no
 custom VJP is defined.
+
+ROUND-2 RETRY (grouped_cross_attention_t): tools/bench_pallas_overhead.py
+measured pallas per-invocation overhead as ~ZERO, refuting this module's
+original loss theory — and the original kernel cast operands to fp32 before
+every dot (the MXU's ~4x slower fp32 mode, the same bug fixed in
+ops/flash_attention.py). The retry kernel takes the cache-native layouts
+(kt pre-transposed (B, H, Dh, L), v natural), computes on bf16 operands
+with fp32 accumulation, and is selectable in the decode loop via
+PRISMER_DECODE_CROSS=pallas (models/roberta.py attend_grouped) for
+end-to-end A/B against the XLA einsum path.
 """
 
 from __future__ import annotations
@@ -105,4 +115,69 @@ def grouped_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         ),
         interpret=interpret,
     )(q, k, v)
+    return out[:, :, :nq, :]
+
+
+def _grouped_t_kernel(q_ref, kt_ref, v_ref, o_ref, *, scale: float,
+                      valid_len: int, heads: int):
+    """One program per sample, heads unrolled; bf16 operands, fp32 accum
+    and softmax statistics (the flash-attention precision recipe)."""
+    lp = kt_ref.shape[3]
+    for h in range(heads):
+        q = q_ref[0, h]                                  # (Qp, Dh) bf16
+        kt = kt_ref[0, h]                                # (Dh, Lp) bf16
+        v = v_ref[0, h]                                  # (Lp, Dh) bf16
+        s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if valid_len < lp:
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(cols < valid_len, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2((s - m) * 1.4426950408889634)       # fp32 stats
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, h] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def grouped_cross_attention_t(q: jax.Array, kt: jax.Array, v: jax.Array,
+                              interpret: Optional[bool] = None) -> jax.Array:
+    """q: (B, H, Q, Dh) with small Q (beams * token_count); kt: (B, H, Dh, L)
+    PRE-TRANSPOSED cache layout; v: (B, H, L, Dh). Exact softmax over the
+    full key length. Returns (B, H, Q, Dh) in q.dtype."""
+    b, h, nq, dh = q.shape
+    l = kt.shape[3]
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    qp = max(8, -(-nq // 8) * 8)
+    lp = -(-l // 128) * 128
+    if qp != nq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, qp - nq), (0, 0)))
+    if lp != l:
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, 0), (0, lp - l)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, lp - l), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_grouped_t_kernel, scale=1.0 / np.sqrt(dh),
+                          valid_len=l, heads=h),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, qp, dh), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, dh, lp), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, lp, dh), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, qp, dh), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, qp, dh), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * qp * lp * dh,
+            bytes_accessed=(kt.size + v.size) * kt.dtype.itemsize,
+            transcendentals=b * h * qp * lp,
+        ),
+        interpret=interpret,
+    )(q, kt, v)
     return out[:, :, :nq, :]

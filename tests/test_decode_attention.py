@@ -109,3 +109,63 @@ def test_beam_search_same_sequences_flash_vs_xla():
                                   np.asarray(seqs_flash))
     np.testing.assert_allclose(np.asarray(scores_xla),
                                np.asarray(scores_flash), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("b,h,nq,l,dh", [
+    (2, 4, 3, 100, 32),
+    (2, 12, 3, 964, 64),   # the real b32 beam-3 decode shape (per-sample)
+    (1, 2, 8, 128, 64),
+])
+def test_grouped_t_matches_xla_reference(b, h, nq, l, dh):
+    """The round-2 retry kernel (bf16 path, transposed-K cache layout)."""
+    from prismer_tpu.ops.decode_attention import grouped_cross_attention_t
+
+    key = jax.random.key(2)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, h, nq, dh), jnp.float32)
+    k = jax.random.normal(kk, (b, h, l, dh), jnp.float32)
+    v = jax.random.normal(kv, (b, h, l, dh), jnp.float32)
+
+    got = grouped_cross_attention_t(q, k.transpose(0, 1, 3, 2), v,
+                                    interpret=True)
+    want = dot_product_attention(q, k, v, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    got16 = grouped_cross_attention_t(
+        q.astype(jnp.bfloat16),
+        k.transpose(0, 1, 3, 2).astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), interpret=True)
+    want16 = dot_product_attention(q.astype(jnp.bfloat16),
+                                   k.astype(jnp.bfloat16),
+                                   v.astype(jnp.bfloat16), None)
+    assert got16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got16, np.float32),
+                               np.asarray(want16, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_attend_grouped_pallas_flag_parity(monkeypatch):
+    """PRISMER_DECODE_CROSS=pallas must not change attend_grouped results
+    (CPU interpret mode)."""
+    from prismer_tpu.config import TextDecoderConfig
+    from prismer_tpu.models.roberta import SelfAttentionCore
+
+    cfg = TextDecoderConfig(vocab_size=64, hidden_size=32,
+                            num_hidden_layers=1, num_attention_heads=4,
+                            intermediate_size=64)
+    core = SelfAttentionCore(cfg)
+    key = jax.random.key(3)
+    hidden = jax.random.normal(key, (6, 1, 32))   # B=2 x beams=3
+    kt = jax.random.normal(jax.random.fold_in(key, 1), (2, 4, 8, 50))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (2, 4, 50, 8))
+    variables = core.init(jax.random.key(0), hidden, hidden)
+
+    monkeypatch.delenv("PRISMER_DECODE_CROSS", raising=False)
+    want = core.apply(variables, hidden, kt, v, 3,
+                      method=SelfAttentionCore.attend_grouped)
+    monkeypatch.setenv("PRISMER_DECODE_CROSS", "pallas")
+    got = core.apply(variables, hidden, kt, v, 3,
+                     method=SelfAttentionCore.attend_grouped)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
