@@ -573,6 +573,11 @@ def main():
         "tflops_per_sec": round(tflops_per_sec, 2) if tflops_per_sec else None,
         "mfu": round(mfu, 4) if mfu else None,
         "tflops_xla": round(tflops_xla, 2) if tflops_xla else None,
+        "harness": "anti-hoisting-v2",
+        "note": "not comparable to BENCH_r01 (187.7): that harness let XLA "
+                "hoist the loop-invariant encoder out of the timing scan, "
+                "inflating img/s ~1.8x; v2 perturbs inputs per iteration "
+                "(tools/check_hoisting.py verifies t(n) linearity)",
     }), flush=True)
 
 

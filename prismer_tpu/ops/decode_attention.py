@@ -28,14 +28,37 @@ Inference-only (the training path uses full-sequence flash attention), so no
 custom VJP is defined.
 
 ROUND-2 RETRY (grouped_cross_attention_t): tools/bench_pallas_overhead.py
-measured pallas per-invocation overhead as ~ZERO, refuting this module's
-original loss theory — and the original kernel cast operands to fp32 before
-every dot (the MXU's ~4x slower fp32 mode, the same bug fixed in
-ops/flash_attention.py). The retry kernel takes the cache-native layouts
-(kt pre-transposed (B, H, Dh, L), v natural), computes on bf16 operands
-with fp32 accumulation, and is selectable in the decode loop via
-PRISMER_DECODE_CROSS=pallas (models/roberta.py attend_grouped) for
-end-to-end A/B against the XLA einsum path.
+measured pallas per-invocation overhead as ~ZERO in a lax.scan, refuting
+this module's original loss theory — and the original kernel cast operands
+to fp32 before every dot (the MXU's ~4x slower fp32 mode, the same bug
+fixed in ops/flash_attention.py). The retry kernel takes the cache-native
+layouts (kt pre-transposed (B, H, Dh, L), v natural), computes on bf16
+operands with fp32 accumulation, and is selectable in the decode loop via
+PRISMER_DECODE_CROSS=pallas (models/roberta.py attend_grouped).
+
+RETRY VERDICT (end-to-end b32 A/B, honest timing, 2026-08-17): 126.7 img/s
+with the kernel vs 171.0 with the XLA einsum path — STILL ~0.34 ms/
+invocation net loss across 192 calls inside the beam-search while_loop,
+despite bf16 operands and zero scan-context call overhead. Per-op pallas
+inside the decode while_loop is dead (twice-confirmed with controlled
+variants); the suspects are operand materialization from loop-carried
+cache slices and lost fusion with surrounding ops. Only a fused
+whole-step kernel (13 layers, ~16 calls total) could amortize this.
+
+FUSED WHOLE-STEP KERNEL — round-3 design constraints (sized, not built):
+b32 decode is 74.9 ms of the 194.7 ms pipeline (tools/profile_pipeline.py
+post flash/top-k fixes); per-step floor = cross-KV 1.14 GB + weights
+~0.29 GB -> ~1.9 ms/step vs ~4.7 measured, i.e. up to ~45 ms to win.
+The naive grid (layer, sample) is COMPUTE-bound, not BW-bound: with only
+qp=8 query rows every dense matmul runs at ~6% MXU efficiency, putting
+the kernel floor ABOVE the XLA path (~5-8 ms/step). A winning kernel
+must (a) batch all 96 decode rows through the dense/MLP matmuls (one
+grid step per layer, hidden in VMEM scratch), (b) stream per-sample
+cross-KV via manual double-buffered DMA (pltpu.make_async_copy; 94 MB/
+layer cannot be block-resident), and (c) handle the T<=30 self-attention
+with lane-masked select updates (dynamic column update on the minor dim
+is not supported by Mosaic). Expected net: ~15-25 ms end-to-end after
+the ~0.34 ms/call while-loop penalty x 16 calls.
 """
 
 from __future__ import annotations
