@@ -147,3 +147,21 @@ def test_flash_pallas_backward_bf16(rng):
         assert gf.dtype == jnp.bfloat16
         np.testing.assert_allclose(np.asarray(gf, np.float32),
                                    np.asarray(gr), atol=0.1, rtol=0.05)
+
+
+def test_block_size_policy():
+    """The swept whole-Q/whole-K policy (ops/flash_attention.py
+    _block_sizes): single k-block when it fits, padding-minimizing k-block
+    otherwise, callers' explicit overrides respected."""
+    from prismer_tpu.ops.flash_attention import _block_sizes
+
+    # encoder hot shape: whole Q, whole K in ONE block (the 3.77 ms winner)
+    assert _block_sizes(964, 964) == (968, 1024)
+    # resampler keys ~1240: bk=256 pads to 1280 (3%), not 512's 1536 (24%)
+    assert _block_sizes(64, 1240) == (64, 256)
+    # tiny decode prefill shapes
+    assert _block_sizes(20, 20) == (24, 128)
+    # explicit override still wins
+    assert _block_sizes(964, 964, block_q=256, block_k=256) == (256, 256)
+    # block never exceeds the padded length
+    assert _block_sizes(8, 100, block_k=512) == (8, 128)
