@@ -287,7 +287,7 @@ def vqa_latency(args):
                   for r in range(5)]
     overhead = float(np.median(null_times))
     print(json.dumps({
-        "metric": "prismer_base_vqa_rank_k16_480px_p50_latency",
+        "metric": f"{args.model}_vqa_rank_k16_480px_p50_latency",
         "value": round((p50 - overhead) * 1000, 2),
         "unit": "ms/image",
         "vs_baseline": None,
@@ -376,7 +376,7 @@ def train_throughput(args):
             best = (ips, b, t_step)
 
     print(json.dumps({
-        "metric": "prismer_base_caption_freeze_vision_train_images_per_sec_per_chip",
+        "metric": f"{args.model}_caption_freeze_vision_train_images_per_sec_per_chip",
         "value": round(best[0], 2),
         "unit": "images/sec/chip",
         "vs_baseline": None,
@@ -564,7 +564,7 @@ def main():
         vs = None
 
     print(json.dumps({
-        "metric": "prismer_base_caption_beam3_480px_images_per_sec_per_chip",
+        "metric": f"{args.model}_caption_beam3_480px_images_per_sec_per_chip",
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 3) if vs else None,
