@@ -47,7 +47,7 @@ import time
 import numpy as np
 
 
-def make_model(model_scale: str, quick: bool):
+def make_model(model_scale: str, quick: bool, experts: str = "full"):
     from prismer_tpu.config import build_prismer_config, tiny_test_config
     from prismer_tpu.models.prismer import Prismer
 
@@ -58,7 +58,10 @@ def make_model(model_scale: str, quick: bool):
         task_cfg["dtype"] = "float32"
     else:
         task_cfg = {
-            "experts": ["depth", "normal", "seg_coco", "edge",
+            # experts='none' benches the PrismerZ family (RGB-only encoder,
+            # model/prismer.py:17-27)
+            "experts": "none" if experts == "none" else
+                       ["depth", "normal", "seg_coco", "edge",
                         "obj_detection", "ocr_detection"],
             "image_resolution": 480,
             "prismer_model": model_scale,
@@ -238,7 +241,7 @@ def vqa_latency(args):
     from prismer_tpu.models.generation import rank_answers
     from prismer_tpu.models.prismer import Prismer
 
-    model, cfg = make_model(args.model, args.quick)
+    model, cfg = make_model(args.model, args.quick, args.experts)
     batch = 1
     variables = init_variables(model, cfg, batch)
     num_answers, ans_len, q_len, k_test = 3000, 4, 12, 16
@@ -287,7 +290,7 @@ def vqa_latency(args):
                   for r in range(5)]
     overhead = float(np.median(null_times))
     print(json.dumps({
-        "metric": f"{args.model}_vqa_rank_k16_480px_p50_latency",
+        "metric": f"{args.metric_model}_vqa_rank_k16_480px_p50_latency",
         "value": round((p50 - overhead) * 1000, 2),
         "unit": "ms/image",
         "vs_baseline": None,
@@ -312,7 +315,7 @@ def train_throughput(args):
 
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/prismer_tpu_jax_cache")
-    model, cfg = make_model(args.model, args.quick)
+    model, cfg = make_model(args.model, args.quick, args.experts)
     variables = init_variables(model, cfg, 1)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -376,7 +379,7 @@ def train_throughput(args):
             best = (ips, b, t_step)
 
     print(json.dumps({
-        "metric": f"{args.model}_caption_freeze_vision_train_images_per_sec_per_chip",
+        "metric": f"{args.metric_model}_caption_freeze_vision_train_images_per_sec_per_chip",
         "value": round(best[0], 2),
         "unit": "images/sec/chip",
         "vs_baseline": None,
@@ -393,6 +396,8 @@ def main():
                     help="single batch size (overrides --batches)")
     ap.add_argument("--batches", type=int, nargs="+", default=[8, 16, 32, 64])
     ap.add_argument("--model", default="prismer_base")
+    ap.add_argument("--experts", default="full", choices=["full", "none"],
+                    help="'none' benches the PrismerZ family (RGB-only)")
     ap.add_argument("--task", default="caption",
                     choices=["caption", "vqa", "train"])
     ap.add_argument("--quick", action="store_true")
@@ -413,6 +418,9 @@ def main():
                          "'slower' verdict came from the invalid "
                          "(encoder-hoisted) timing.")
     args = ap.parse_args()
+    # PrismerZ configs (experts='none') report under the prismerz_* family
+    args.metric_model = (args.model.replace("prismer_", "prismerz_")
+                         if args.experts == "none" else args.model)
 
     if args.task == "vqa":
         import jax
@@ -435,7 +443,7 @@ def main():
     from prismer_tpu.models.generation import beam_search
     from prismer_tpu.models.prismer import Prismer
 
-    model, cfg = make_model(args.model, args.quick)
+    model, cfg = make_model(args.model, args.quick, args.experts)
     max_length = 10 if args.quick else 20
     min_length = min(8, max_length - 1)
     batches = [args.batch] if args.batch else args.batches
@@ -564,7 +572,7 @@ def main():
         vs = None
 
     print(json.dumps({
-        "metric": f"{args.model}_caption_beam3_480px_images_per_sec_per_chip",
+        "metric": f"{args.metric_model}_caption_beam3_480px_images_per_sec_per_chip",
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 3) if vs else None,
