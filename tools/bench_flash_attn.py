@@ -22,6 +22,8 @@ def main():
     ap.add_argument("--iters", type=int, default=16)
     ap.add_argument("--blocks", type=int, nargs=2, default=None,
                     help="block_q block_k override (ours and official)")
+    ap.add_argument("--interleave", type=int, default=0,
+                    help="N>0: experimental N-way interleaved-halves kernel")
     args = ap.parse_args()
 
     import functools
@@ -33,7 +35,9 @@ def main():
     from prismer_tpu.ops.flash_attention import flash_attention, mha_reference
 
     b, h, l, d = args.shape
-    if args.blocks and not args.official:
+    if args.interleave:
+        fn = lambda q, k, v: interleaved_forward(q, k, v, args.interleave)
+    elif args.blocks and not args.official:
         bq, bk = args.blocks
         fn = lambda q, k, v: fa_mod._flash_forward(
             q, k, v, None, False, block_q=bq, block_k=bk)[0]
@@ -80,10 +84,93 @@ def main():
         best = min(best, time.perf_counter() - t0)
     per = best / args.iters
     flops = 4 * b * h * l * l * d
-    name = ("official" if args.official else
+    name = (f"interleave{args.interleave}" if args.interleave else
+            "official" if args.official else
             "xla" if args.xla else "flash")
     print(f"{name} {tuple(args.shape)}: "
           f"{per * 1000:.3f} ms/call  ({flops / per / 1e12:.1f} TFLOP/s eff)")
+
+
+
+
+def interleaved_forward(q, k, v, halves=2):
+    """EXPERIMENT (measured: NO WIN): whole-K single-block kernel with the
+    q rows split into independent chains, giving Mosaic's scheduler MXU
+    work (next half's score matmul) to overlap with VPU work (previous
+    half's softmax). Grid-level splits can't do this — compute does not
+    overlap across grid programs, only DMA does (measured: (512,1024)
+    blocks = 6.28 ms vs (968,1024) = 3.77).
+
+    Result at 32x12x964x64: interleave2 = 3.85 ms vs 3.77-3.98 for the
+    production single-chain kernel — within run-to-run noise. Either
+    Mosaic already extracts this overlap from the single chain or the
+    kernel is bound elsewhere (VMEM bandwidth on the (968,1024) fp32
+    score tile); ~3.8-4.0 ms is the practical plateau for this shape."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, l, d = q.shape
+    lp = -(-l // 128) * 128
+    qp = -(-l // (8 * halves)) * 8 * halves
+    qf = jnp.pad(q, ((0, 0), (0, 0), (0, qp - l), (0, 0))
+                 ).reshape(b * h, qp, d)
+    kf = jnp.pad(k, ((0, 0), (0, 0), (0, lp - l), (0, 0))
+                 ).reshape(b * h, lp, d)
+    vf = jnp.pad(v, ((0, 0), (0, 0), (0, lp - l), (0, 0))
+                 ).reshape(b * h, lp, d)
+    scale = 1.0 / np.sqrt(d)
+    hq = qp // halves
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        kb = k_ref[0]
+        vb = v_ref[0]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (hq, lp), 1)
+        # independent per-half chains, written half-by-half so the
+        # scheduler can overlap half i+1's MXU with half i's VPU
+        ss = []
+        for i in range(halves):
+            qh = q_ref[0, i * hq:(i + 1) * hq, :]
+            s = jax.lax.dot_general(
+                qh, kb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            ss.append(jnp.where(cols < l, s, -1e9))
+        for i in range(halves):
+            s = ss[i]
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp2((s - m) * 1.4426950408889634)
+            den = jnp.sum(p, axis=1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[0, i * hq:(i + 1) * hq, :] = (
+                o / jnp.maximum(den, 1e-30)).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec((1, qp, d), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lp, d), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lp, d), lambda bh: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, qp, d), lambda bh: (bh, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, qp, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * qp * lp * d,
+            bytes_accessed=(qf.size + kf.size + vf.size) * 2,
+            transcendentals=b * h * qp * lp,
+        ),
+    )(qf, kf, vf)
+    return out.reshape(b, h, qp, d)[:, :, :l, :]
 
 
 if __name__ == "__main__":
