@@ -22,6 +22,7 @@ per sequence. Batch-first, static shapes, fp32 LayerNorm/softmax.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -122,8 +123,6 @@ class SelfAttentionCore(nn.Module):
         decode step (~1 GB/step at b32) — measured ~40% of decode time.
         Storing K^T once at prefill removes every per-step transpose: both
         matmuls below stream cache memory directly into the MXU."""
-        import os
-
         n, p, d = hidden.shape
         b = n // beams
         q = self.project_q(hidden)                 # (B*K, H, P, Dh)

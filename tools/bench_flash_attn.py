@@ -17,7 +17,10 @@ def main():
                     help="time the XLA reference path instead")
     ap.add_argument("--official", action="store_true",
                     help="time jax.experimental.pallas.ops.tpu "
-                         "flash_attention (upstream kernel) instead")
+                         "flash_attention (upstream kernel) instead. "
+                         "TIMING ONLY: K/V are zero-padded to the block "
+                         "multiple without a mask, so its outputs include "
+                         "the padded keys — never compare values")
     ap.add_argument("--shape", type=int, nargs=4, default=[32, 12, 964, 64])
     ap.add_argument("--iters", type=int, default=16)
     ap.add_argument("--blocks", type=int, nargs=2, default=None,
@@ -25,8 +28,6 @@ def main():
     ap.add_argument("--interleave", type=int, default=0,
                     help="N>0: experimental N-way interleaved-halves kernel")
     args = ap.parse_args()
-
-    import functools
 
     import jax
     import jax.numpy as jnp
@@ -106,8 +107,6 @@ def interleaved_forward(q, k, v, halves=2):
     Mosaic already extracts this overlap from the single chain or the
     kernel is bound elsewhere (VMEM bandwidth on the (968,1024) fp32
     score tile); ~3.8-4.0 ms is the practical plateau for this shape."""
-    import functools
-
     import jax
     import jax.numpy as jnp
     import numpy as np

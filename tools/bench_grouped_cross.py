@@ -23,7 +23,6 @@ Usage: python tools/bench_grouped_cross.py [--variants xla pallas] \
 """
 
 import argparse
-import functools
 import sys
 import time
 
@@ -43,8 +42,6 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     b, h, beams, dh, l = args.shape
     nl, steps = args.layers, args.steps
@@ -65,55 +62,13 @@ def main():
         p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
         return jnp.einsum("bhql,bhld->bhqd", p.astype(v.dtype), v)
 
-    qp = max(8, -(-beams // 8) * 8)
-    lp = -(-l // 128) * 128
-
-    def kernel(q_ref, kt_ref, v_ref, o_ref):
-        for hh in range(h):  # static unroll; bf16 operands, fp32 accum
-            q = q_ref[0, hh]                     # (Qp, Dh) bf16
-            kt = kt_ref[0, hh]                   # (Dh, Lp) bf16
-            vv = v_ref[0, hh]                    # (Lp, Dh) bf16
-            s = jax.lax.dot_general(
-                q, kt, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale   # (Qp, Lp)
-            if l < lp:
-                cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                s = jnp.where(cols < l, s, -1e9)
-            m = jnp.max(s, axis=1, keepdims=True)
-            p = jnp.exp2((s - m) * 1.4426950408889634)
-            denom = jnp.sum(p, axis=1, keepdims=True)
-            o = jax.lax.dot_general(
-                p.astype(vv.dtype), vv, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            o_ref[0, hh] = (o / jnp.maximum(denom, 1e-30)).astype(o_ref.dtype)
+    from prismer_tpu.ops.decode_attention import grouped_cross_attention_t
 
     def pallas_layer(q, kt, v):
-        if qp != beams:
-            q = jnp.pad(q, ((0, 0), (0, 0), (0, qp - beams), (0, 0)))
-        if lp != l:
-            kt = jnp.pad(kt, ((0, 0), (0, 0), (0, 0), (0, lp - l)))
-            v = jnp.pad(v, ((0, 0), (0, 0), (0, lp - l), (0, 0)))
-        out = pl.pallas_call(
-            kernel,
-            grid=(b,),
-            in_specs=[
-                pl.BlockSpec((1, h, qp, dh), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, h, dh, lp), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, h, lp, dh), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, h, qp, dh), lambda i: (i, 0, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((b, h, qp, dh), q.dtype),
-            cost_estimate=pl.CostEstimate(
-                flops=4 * b * h * qp * lp * dh,
-                bytes_accessed=(kt.size + v.size) * 2,
-                transcendentals=b * h * qp * lp,
-            ),
-        )(q, kt, v)
-        return out[:, :, :beams, :]
+        # the SHIPPED kernel (PRISMER_DECODE_CROSS=pallas selects it in
+        # production) — never a local copy, so adopt/reject verdicts always
+        # measure the real code
+        return grouped_cross_attention_t(q, kt, v, interpret=False)
 
     layer_fns = {"xla": xla_layer, "pallas": pallas_layer}
 

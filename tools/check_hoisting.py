@@ -108,7 +108,15 @@ def main():
     print(f"relay overhead: {overhead * 1000:.1f} ms")
 
     ratio = ts[8] / ts[1]
-    adj = (ts[8] - overhead) / max(ts[1] - overhead, 1e-9)
+    net1 = ts[1] - overhead
+    if net1 < 0.25 * overhead:
+        # the single-iteration run is in the relay-overhead noise floor —
+        # the ratio is meaningless at this config; use a bigger --batch
+        print(f"t(8)/t(1) = {ratio:.2f} raw; iters=1 net device time "
+              f"({net1 * 1000:.1f} ms) is below the noise floor — "
+              "NO VERDICT (increase --batch)")
+        return
+    adj = (ts[8] - overhead) / net1
     print(f"t(8)/t(1) = {ratio:.2f} raw, {adj:.2f} overhead-subtracted")
     if adj < 6.0:
         print("VERDICT: work is AMORTIZED across iterations "

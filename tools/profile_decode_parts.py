@@ -8,8 +8,9 @@ Variants:
   noself    cached self-attention (attend_t) -> identity (keeps q/kv proj +
             cache write)
   nolmhead  LM head -> pad(hidden) to vocab (removes the 768xV matmul)
-  notopk    lax.top_k -> static slice (bounds the beam bookkeeping cost;
-            changes selection semantics, shapes stay legal)
+  notopk    lax.top_k AND generation.exact_top_k -> static slice (bounds
+            the full candidate-selection cost incl. the 150k-wide argmax
+            top-k; changes selection semantics, shapes stay legal)
   nolayers  DecoderLayer.decode_attend -> identity (keeps embeddings,
             per-layer step-KV projection + cache writes, LM head, beam
             bookkeeping, loop structure — bounds the loop overhead floor)
@@ -53,6 +54,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/prismer_tpu_jax_cache")
 
+    from prismer_tpu.models import generation as gen
     from prismer_tpu.models import roberta as rb
     from prismer_tpu.models.generation import beam_search
     from prismer_tpu.models.prismer import Prismer
@@ -71,6 +73,7 @@ def main():
     orig_attend_t = rb.SelfAttentionCore.attend_t
     orig_lmhead = rb.LMHead.__call__
     orig_topk = jax.lax.top_k
+    orig_exact_topk = gen.exact_top_k
     orig_decode_attend = rb.DecoderLayer.decode_attend
 
     def patch(variant):
@@ -78,6 +81,7 @@ def main():
         rb.SelfAttentionCore.attend_t = orig_attend_t
         rb.LMHead.__call__ = orig_lmhead
         jax.lax.top_k = orig_topk
+        gen.exact_top_k = orig_exact_topk
         rb.DecoderLayer.decode_attend = orig_decode_attend
         if variant == "nolayers":
             rb.DecoderLayer.decode_attend = (
@@ -95,6 +99,7 @@ def main():
                                        vals.shape)
                 return vals, idx
             jax.lax.top_k = fake_topk
+            gen.exact_top_k = fake_topk
         elif variant == "nolmhead":
             def fake_lmhead(self, hidden, word_embeddings):
                 v = self.cfg.vocab_size
