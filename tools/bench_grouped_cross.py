@@ -18,6 +18,17 @@ Variants:
               instead of lax.scan, to expose any custom-call serialization
               specific to while bodies
 
+COMPILE WARNING: at the full 16-step x 12-layer shape this program takes
+>25 min to compile on the remote service (repeatedly hit its invocation
+timeout, 2026-08-17) — something about the long unrolled einsum+softmax
+chain inside scan is pathological. Defaults are therefore 4 steps x 4
+layers (traffic scales linearly; extrapolate x12) — though even that shape
+hit a 20-min compile during a degraded-relay window, so treat this tool as
+relay-weather-dependent. The authoritative
+adopt/reject numbers come from the END-TO-END pipeline A/B anyway
+(PRISMER_DECODE_CROSS=pallas: 126.7 vs 171.0 img/s at b32 — see
+prismer_tpu/ops/decode_attention.py).
+
 Usage: python tools/bench_grouped_cross.py [--variants xla pallas] \
            [--loop scan|while]
 """
@@ -33,8 +44,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--shape", type=int, nargs=5, default=[32, 12, 3, 64, 964],
                     help="B H beams Dh L")
-    ap.add_argument("--layers", type=int, default=12)
-    ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--variants", nargs="+", default=["xla", "pallas"])
     ap.add_argument("--loop", choices=["scan", "while"], default="scan")
     args = ap.parse_args()
