@@ -49,6 +49,9 @@ FUSED WHOLE-STEP KERNEL — round-3 design constraints (sized, not built):
 b32 decode is 74.9 ms of the 194.7 ms pipeline (tools/profile_pipeline.py
 post flash/top-k fixes); per-step floor = cross-KV 1.14 GB + weights
 ~0.29 GB -> ~1.9 ms/step vs ~4.7 measured, i.e. up to ~45 ms to win.
+Measured budget (2026-08-17 ablation, tools/profile_decode_parts.py):
+the 13 decode_attend layer bodies are 72.1 ms of the b32 pipeline
+(nolayers share) vs the ~30 ms traffic floor — ~40 ms winnable.
 The naive grid (layer, sample) is COMPUTE-bound, not BW-bound: with only
 qp=8 query rows every dense matmul runs at ~6% MXU efficiency, putting
 the kernel floor ABOVE the XLA path (~5-8 ms/step). A winning kernel

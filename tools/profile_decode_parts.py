@@ -15,10 +15,18 @@ Variants:
             per-layer step-KV projection + cache writes, LM head, beam
             bookkeeping, loop structure — bounds the loop overhead floor)
 
-History (b32, honest anti-hoisting timing, full-pipeline ms/iter):
+History (b32; NOTE this tool's experts are FIXED inputs, so the encoder
+is hoisted out of the scan — deltas isolate decode, absolute ms/iter
+include ~1/iters of the encoder):
   2026-08-16 pre-restructure (decode ~97 ms): nocross share 67.0,
   noself 51.0, nolmhead 3.6 — shares overlap (sum > decode total);
   measured via the then-live `attend` path.
+  2026-08-17 post flash/top-k fixes (decode 74.9 ms by
+  tools/profile_pipeline.py): base 121.9 ms/iter, notopk share 9.9
+  (exact_top_k correctly patched), nolayers share 72.1 — the 13
+  decode_attend layer bodies are 72 ms vs a ~30 ms cross-KV+weights
+  traffic floor; that ~40 ms is the round-3 fused whole-step kernel's
+  budget (ops/decode_attention.py design notes).
 
 The difference base - variant bounds that component's share of decode time
 (prefill is mildly affected too; it is ~7% of the total).
