@@ -31,8 +31,8 @@ import jax.numpy as jnp
 
 from prismer_tpu.config import TextDecoderConfig
 from prismer_tpu.models.layers import (NEG_INF, Adaptor, LayerNorm,
-                                       attention, dot_product_attention,
-                                       gelu_exact, merge_heads, split_heads)
+                                       attention, gelu_exact, merge_heads,
+                                       split_heads)
 
 Dtype = Any
 
@@ -88,12 +88,6 @@ class SelfAttentionCore(nn.Module):
         q = self.project_q(hidden)
         k, v = self.project_kv(kv_source)
         return merge_heads(attention(q, k, v, key_mask, causal))
-
-    def attend(self, hidden: jax.Array, k: jax.Array, v: jax.Array,
-               mask_bias: Optional[jax.Array]) -> jax.Array:
-        """Attention against externally supplied (cached) K/V."""
-        q = self.project_q(hidden)
-        return merge_heads(dot_product_attention(q, k, v, mask_bias))
 
     def attend_t(self, hidden: jax.Array, kt: jax.Array, v: jax.Array,
                  mask_bias: Optional[jax.Array]) -> jax.Array:
