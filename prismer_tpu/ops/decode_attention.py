@@ -37,13 +37,16 @@ operands with fp32 accumulation, and is selectable in the decode loop via
 PRISMER_DECODE_CROSS=pallas (models/roberta.py attend_grouped).
 
 RETRY VERDICT (end-to-end b32 A/B, honest timing, 2026-08-17): 126.7 img/s
-with the kernel vs 171.0 with the XLA einsum path — STILL ~0.34 ms/
-invocation net loss across 192 calls inside the beam-search while_loop,
-despite bf16 operands and zero scan-context call overhead. Per-op pallas
-inside the decode while_loop is dead (twice-confirmed with controlled
-variants); the suspects are operand materialization from loop-carried
-cache slices and lost fusion with surrounding ops. Only a fused
-whole-step kernel (13 layers, ~16 calls total) could amortize this.
+with the kernel vs 171.0 with the XLA einsum path. The standalone
+microbenchmark (tools/bench_grouped_cross.py, 12 layers x 16 steps in a
+plain scan, operands passed directly — no while_loop, no loop-carried
+slices) pins the cause: the XLA einsum chain streams the 18.2 GB of
+cross-KV at 352 GB/s (51.7 ms) while this kernel manages 87 GB/s
+(209.1 ms). The loss is INTRINSIC to the kernel's per-sample grid —
+32 programs/call each moving ~3 MB with microseconds of compute do not
+pipeline DMA effectively on this chip — not call overhead (measured ~0),
+not fusion breakage, not while_loop interaction. Per-op pallas at this
+granularity is dead.
 
 FUSED WHOLE-STEP KERNEL — round-3 design constraints (sized, not built):
 b32 decode is 74.9 ms of the 194.7 ms pipeline (tools/profile_pipeline.py
@@ -56,12 +59,15 @@ The naive grid (layer, sample) is COMPUTE-bound, not BW-bound: with only
 qp=8 query rows every dense matmul runs at ~6% MXU efficiency, putting
 the kernel floor ABOVE the XLA path (~5-8 ms/step). A winning kernel
 must (a) batch all 96 decode rows through the dense/MLP matmuls (one
-grid step per layer, hidden in VMEM scratch), (b) stream per-sample
-cross-KV via manual double-buffered DMA (pltpu.make_async_copy; 94 MB/
-layer cannot be block-resident), and (c) handle the T<=30 self-attention
-with lane-masked select updates (dynamic column update on the minor dim
-is not supported by Mosaic). Expected net: ~15-25 ms end-to-end after
-the ~0.34 ms/call while-loop penalty x 16 calls.
+grid step per layer, hidden in VMEM scratch), (b) stream cross-KV via
+manual double-buffered DMA at LARGE granularity — the microbench shows
+per-sample ~3 MB DMAs sustain only 87 GB/s vs XLA's 352 GB/s, so the
+kernel must fetch multi-sample chunks (e.g. 8 samples = 24 MB per copy)
+to approach peak — and (c) handle the T<=30 self-attention with
+lane-masked select updates (dynamic column update on the minor dim is
+not supported by Mosaic). The bar: beat XLA's 352 GB/s effective
+streaming plus eliminate the ~20 ms of non-traffic layer-body overhead
+(72.1 ms bodies - ~52 ms standalone traffic time).
 """
 
 from __future__ import annotations

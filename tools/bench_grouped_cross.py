@@ -10,6 +10,11 @@ the real network). Speed of light = reading kt+v once per layer per step:
 NL * STEPS * 2 * B*H*Dh*L * 2 bytes = 18.1 GB at the default shape
 -> ~22 ms at the v5e's 819 GB/s.
 
+MEASURED (2026-08-17, full 12x16 shape, scan): xla 51.65 ms total
+(352 GB/s effective of 18.2 GB) | pallas 209.08 ms (87 GB/s) — the
+shipped kernel is 4x slower than the einsum chain even standalone; see
+ops/decode_attention.py RETRY VERDICT for the implications.
+
 Variants:
   xla         the production einsum chain (models/roberta.py attend_grouped)
   pallas      bf16-operand kernel, grid (B,), heads unrolled in-kernel
@@ -18,13 +23,13 @@ Variants:
               instead of lax.scan, to expose any custom-call serialization
               specific to while bodies
 
-COMPILE WARNING: at the full 16-step x 12-layer shape this program takes
->25 min to compile on the remote service (repeatedly hit its invocation
-timeout, 2026-08-17) — something about the long unrolled einsum+softmax
-chain inside scan is pathological. Defaults are therefore 4 steps x 4
-layers (traffic scales linearly; extrapolate x12) — though even that shape
-hit a 20-min compile during a degraded-relay window, so treat this tool as
-relay-weather-dependent. The authoritative
+BUG POSTMORTEM (fixed): the first revision's `step` closure captured the
+CONCRETE cache arrays from the enclosing scope (the jit function's
+same-named parameters shadowed but went unused), embedding ~2.4 GB of
+constants into the program — the relay buffered the upload for 25+ min or
+rejected it with HTTP 413. Symptom of a too-big program on this relay:
+remote_compile 'length limit exceeded'. Caches are now threaded through
+the jit arguments properly. The authoritative
 adopt/reject numbers come from the END-TO-END pipeline A/B anyway
 (PRISMER_DECODE_CROSS=pallas: 126.7 vs 171.0 img/s at b32 — see
 prismer_tpu/ops/decode_attention.py).
@@ -86,19 +91,20 @@ def main():
     for variant in args.variants:
         layer = layer_fns[variant]
 
-        def step(q, i):
-            # perturb so nothing is loop-invariant
+        def step(q, i, kts, vs):
+            # perturb so nothing is loop-invariant; caches MUST come in as
+            # jit arguments (see BUG POSTMORTEM above)
             q = q + (1e-6 * i.astype(jnp.float32)).astype(q.dtype)
             for li in range(nl):
-                q = layer(q, kt_all[li], v_all[li])
+                q = layer(q, kts[li], vs[li])
             return q
 
         @jax.jit
-        def prog(kt_all, v_all, q0, seed):
+        def prog(kts, vs, q0, seed):
             q0 = q0 + (1e-6 * seed.astype(jnp.float32)).astype(q0.dtype)
             if args.loop == "scan":
                 def body(q, i):
-                    return step(q, i), None
+                    return step(q, i, kts, vs), None
                 q, _ = jax.lax.scan(body, q0, jnp.arange(steps))
             else:
                 def cond(c):
@@ -106,7 +112,7 @@ def main():
 
                 def body(c):
                     q, i = c
-                    return step(q, i), i + 1
+                    return step(q, i, kts, vs), i + 1
                 q, _ = jax.lax.while_loop(cond, body, (q0, jnp.int32(0)))
             return jnp.sum(q.astype(jnp.float32))
 
