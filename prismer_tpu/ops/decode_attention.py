@@ -42,11 +42,14 @@ microbenchmark (tools/bench_grouped_cross.py, 12 layers x 16 steps in a
 plain scan, operands passed directly — no while_loop, no loop-carried
 slices) pins the cause: the XLA einsum chain streams the 18.2 GB of
 cross-KV at 352 GB/s (51.7 ms) while this kernel manages 87 GB/s
-(209.1 ms). The loss is INTRINSIC to the kernel's per-sample grid —
-32 programs/call each moving ~3 MB with microseconds of compute do not
-pipeline DMA effectively on this chip — not call overhead (measured ~0),
-not fusion breakage, not while_loop interaction. Per-op pallas at this
-granularity is dead.
+(209.1 ms). Granularity probe (samples_per_block=4: 76 GB/s, =8:
+75 GB/s, vmem limit raised) KILLED the DMA-granularity hypothesis — the
+block size doesn't matter. The arithmetic fingers serialized tiny-matmul
+LATENCY instead: the unrolled per-head (8,64)x(64,1024) dots cost
+~1.5 us each in issue latency; 12 heads x 2 dots x 32 samples
+~ 1.2 ms/layer-call ~ exactly the measured gap. XLA wins because its
+einsum lowers to one large BATCHED matmul over (B, H). Not call overhead
+(measured ~0), not fusion breakage, not DMA block size.
 
 FUSED WHOLE-STEP KERNEL — round-3 design constraints (sized, not built):
 b32 decode is 74.9 ms of the 194.7 ms pipeline (tools/profile_pipeline.py
@@ -59,15 +62,18 @@ The naive grid (layer, sample) is COMPUTE-bound, not BW-bound: with only
 qp=8 query rows every dense matmul runs at ~6% MXU efficiency, putting
 the kernel floor ABOVE the XLA path (~5-8 ms/step). A winning kernel
 must (a) batch all 96 decode rows through the dense/MLP matmuls (one
-grid step per layer, hidden in VMEM scratch), (b) stream cross-KV via
-manual double-buffered DMA at LARGE granularity — the microbench shows
-per-sample ~3 MB DMAs sustain only 87 GB/s vs XLA's 352 GB/s, so the
-kernel must fetch multi-sample chunks (e.g. 8 samples = 24 MB per copy)
-to approach peak — and (c) handle the T<=30 self-attention with
-lane-masked select updates (dynamic column update on the minor dim is
-not supported by Mosaic). The bar: beat XLA's 352 GB/s effective
-streaming plus eliminate the ~20 ms of non-traffic layer-body overhead
-(72.1 ms bodies - ~52 ms standalone traffic time).
+grid step per layer, hidden in VMEM scratch), (b) NEVER loop tiny
+per-head dots — the granularity probe proved per-head (8,64)x(64,1024)
+matmuls are issue-latency-bound (~75-87 GB/s at every DMA block size vs
+XLA's batched-einsum 352 GB/s); in-kernel attention must batch heads
+into one wide matmul, e.g. q laid out (h*qp, dh) against kt (dh, h*l)
+computing all head pairs (12x redundant FLOPs, which are free here) and
+masking the block-diagonal in the fp32 score tile before the softmax —
+and (c) handle the T<=30 self-attention with lane-masked select updates
+(dynamic column update on the minor dim is not supported by Mosaic).
+The bar: beat XLA's 352 GB/s effective streaming plus eliminate the
+~20 ms of non-traffic layer-body overhead (72.1 ms bodies - ~52 ms
+standalone traffic time).
 """
 
 from __future__ import annotations
@@ -151,36 +157,47 @@ def grouped_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def _grouped_t_kernel(q_ref, kt_ref, v_ref, o_ref, *, scale: float,
-                      valid_len: int, heads: int):
-    """One program per sample, heads unrolled; bf16 operands, fp32 accum
-    and softmax statistics (the flash-attention precision recipe)."""
+                      valid_len: int, heads: int, samples: int = 1):
+    """One program per `samples` samples, heads unrolled; bf16 operands,
+    fp32 accum and softmax statistics (the flash-attention precision
+    recipe). samples>1 enlarges each program's DMA block (the measured
+    per-sample ~3 MB granularity sustains only 87 GB/s)."""
     lp = kt_ref.shape[3]
-    for h in range(heads):
-        q = q_ref[0, h]                                  # (Qp, Dh) bf16
-        kt = kt_ref[0, h]                                # (Dh, Lp) bf16
-        v = v_ref[0, h]                                  # (Lp, Dh) bf16
-        s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        if valid_len < lp:
-            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(cols < valid_len, s, NEG_INF)
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp2((s - m) * 1.4426950408889634)       # fp32 stats
-        l = jnp.sum(p, axis=1, keepdims=True)
-        o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        o_ref[0, h] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    for si in range(samples):
+        for h in range(heads):
+            q = q_ref[si, h]                             # (Qp, Dh) bf16
+            kt = kt_ref[si, h]                           # (Dh, Lp) bf16
+            v = v_ref[si, h]                             # (Lp, Dh) bf16
+            s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            if valid_len < lp:
+                cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(cols < valid_len, s, NEG_INF)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp2((s - m) * 1.4426950408889634)   # fp32 stats
+            l = jnp.sum(p, axis=1, keepdims=True)
+            o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            o_ref[si, h] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 def grouped_cross_attention_t(q: jax.Array, kt: jax.Array, v: jax.Array,
-                              interpret: Optional[bool] = None) -> jax.Array:
+                              interpret: Optional[bool] = None,
+                              samples_per_block: int = 1) -> jax.Array:
     """q: (B, H, Q, Dh) with small Q (beams * token_count); kt: (B, H, Dh, L)
     PRE-TRANSPOSED cache layout; v: (B, H, L, Dh). Exact softmax over the
-    full key length. Returns (B, H, Q, Dh) in q.dtype."""
+    full key length. Returns (B, H, Q, Dh) in q.dtype.
+
+    samples_per_block > 1 (must divide B) processes several samples per
+    grid program — larger DMA blocks per the round-3 granularity
+    hypothesis (see module docstring)."""
     b, h, nq, dh = q.shape
     l = kt.shape[3]
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    sb = samples_per_block
+    assert b % sb == 0, (b, sb)
 
     qp = max(8, -(-nq // 8) * 8)
     lp = -(-l // 128) * 128
@@ -192,17 +209,20 @@ def grouped_cross_attention_t(q: jax.Array, kt: jax.Array, v: jax.Array,
 
     out = pl.pallas_call(
         functools.partial(_grouped_t_kernel, scale=1.0 / np.sqrt(dh),
-                          valid_len=l, heads=h),
-        grid=(b,),
+                          valid_len=l, heads=h, samples=sb),
+        grid=(b // sb,),
+        # multi-sample blocks exceed the default ~16 MB scoped-vmem limit
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024) if sb > 1 else None,
         in_specs=[
-            pl.BlockSpec((1, h, qp, dh), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((sb, h, qp, dh), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, dh, lp), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((sb, h, dh, lp), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, lp, dh), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((sb, h, lp, dh), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, qp, dh), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((sb, h, qp, dh), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, qp, dh), q.dtype),
         cost_estimate=pl.CostEstimate(

@@ -11,7 +11,10 @@ NL * STEPS * 2 * B*H*Dh*L * 2 bytes = 18.1 GB at the default shape
 -> ~22 ms at the v5e's 819 GB/s.
 
 MEASURED (2026-08-17, full 12x16 shape, scan): xla 51.65 ms total
-(352 GB/s effective of 18.2 GB) | pallas 209.08 ms (87 GB/s) — the
+(352 GB/s effective of 18.2 GB) | pallas 209.08 ms (87 GB/s) |
+pallas --samples_per_block 4: 240.5 ms (76 GB/s), 8: 243.9 ms (75 GB/s,
+vmem limit raised) — block size is irrelevant; the kernel is bound by
+serialized per-head tiny-matmul issue latency. The
 shipped kernel is 4x slower than the einsum chain even standalone; see
 ops/decode_attention.py RETRY VERDICT for the implications.
 
@@ -52,6 +55,9 @@ def main():
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--variants", nargs="+", default=["xla", "pallas"])
+    ap.add_argument("--samples_per_block", type=int, default=1,
+                    help="pallas variant: samples per grid program "
+                         "(DMA granularity probe)")
     ap.add_argument("--loop", choices=["scan", "while"], default="scan")
     args = ap.parse_args()
 
@@ -84,7 +90,9 @@ def main():
         # the SHIPPED kernel (PRISMER_DECODE_CROSS=pallas selects it in
         # production) — never a local copy, so adopt/reject verdicts always
         # measure the real code
-        return grouped_cross_attention_t(q, kt, v, interpret=False)
+        return grouped_cross_attention_t(
+            q, kt, v, interpret=False,
+            samples_per_block=args.samples_per_block)
 
     layer_fns = {"xla": xla_layer, "pallas": pallas_layer}
 
