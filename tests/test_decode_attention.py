@@ -169,3 +169,22 @@ def test_attend_grouped_pallas_flag_parity(monkeypatch):
                      method=SelfAttentionCore.attend_grouped)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_grouped_t_samples_per_block_parity():
+    """samples_per_block > 1 (the DMA-granularity probe path) must be
+    numerically identical to the per-sample grid."""
+    from prismer_tpu.ops.decode_attention import grouped_cross_attention_t
+
+    key = jax.random.key(5)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (4, 3, 3, 32), jnp.float32)
+    kt = jax.random.normal(kk, (4, 3, 32, 100), jnp.float32)
+    v = jax.random.normal(kv, (4, 3, 100, 32), jnp.float32)
+
+    base = grouped_cross_attention_t(q, kt, v, interpret=True)
+    for sb in (2, 4):
+        got = grouped_cross_attention_t(q, kt, v, interpret=True,
+                                        samples_per_block=sb)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                   rtol=1e-6, atol=1e-6)
