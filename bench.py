@@ -31,9 +31,10 @@ Prints ONE JSON line (headline = best batch of the sweep):
 
 TFLOP/s and MFU come from ANALYTIC model FLOPs (305 GFLOP/image at
 Prismer-BASE 480px beam-3/max-20) over measured wall time and the chip's
-peak bf16 FLOP/s — XLA's cost analysis undercounts this program ~4x (Pallas
-custom calls report no flops; while-loop bodies are counted once, not per
-trip); it is kept as `tflops_xla` for contrast. Calibration point: a plain
+peak bf16 FLOP/s — XLA's cost analysis undercounts this program (Pallas
+custom calls report no flops; scan/while bodies are counted once, not per
+trip — verified behavior, see the tflops_xla computation below); it is kept
+as `tflops_xla` for contrast. Calibration point: a plain
 8192^3 bf16 matmul achieves 147.5 TFLOP/s on this chip (75% of the 197
 nominal peak).
 """
@@ -524,8 +525,13 @@ def main():
     ips, batch, t_cached, experts_fixed, compiled = best
 
     # achieved TFLOP/s + MFU from analytic model FLOPs (XLA cost analysis
-    # misses Pallas custom calls and counts while_loop bodies once — it
-    # undercounts this program several-fold; kept as tflops_xla for contrast)
+    # misses Pallas custom calls and counts scan/while bodies ONCE, not per
+    # trip — verified on this jax build: a 16-trip scan of a matmul reports
+    # the flops of one body. So cost_analysis' flops equal ONE timing-scan
+    # body (one full pass), and t_cached is already one pass' wall time —
+    # no extra /iters divisor. The figure still undercounts the real
+    # program (the decode while_loop's trips and Pallas custom calls are
+    # invisible to it); kept as tflops_xla for contrast only.
     tflops_per_sec = mfu = tflops_xla = None
     peak = peak_tflops(jax.devices()[0])
     aflops = analytic_caption_flops(cfg, batch, prompt_len, max_length,
@@ -534,7 +540,7 @@ def main():
     mfu = tflops_per_sec / peak if peak else None
     flops = program_flops(compiled)
     if flops:
-        tflops_xla = flops / args.iters / t_cached / 1e12
+        tflops_xla = flops / t_cached / 1e12
 
     vs = None
     if not args.skip_baseline:

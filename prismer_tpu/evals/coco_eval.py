@@ -62,5 +62,8 @@ def coco_caption_eval(gt_json: Union[str, Dict],
     for n, b in enumerate(bleu, start=1):
         out[f"Bleu_{n}"] = b
     out["ROUGE_L"], _ = rouge_l(cands, refs)
-    out["METEOR"], _ = meteor(cands, refs)  # METEOR-lite (see evals/meteor.py)
+    # Labeled _lite so driver printouts/logs can never be mistaken for the
+    # official jar METEOR (evals/meteor.py documents the approximations);
+    # only the pycocoevalcap path above reports a plain "METEOR".
+    out["METEOR_lite"], _ = meteor(cands, refs)
     return out

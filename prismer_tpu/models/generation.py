@@ -76,6 +76,11 @@ def exact_top_k(x: jax.Array, kk: int) -> Tuple[jax.Array, jax.Array]:
     candidate matrix): k cheap row-reductions instead of a full top-k sort
     network (ablation bound: 16.1 ms of the b32 pipeline,
     tools/profile_decode_parts.py notopk)."""
+    # Guard the -inf contract mechanically: incoming -inf is clamped to
+    # finfo.min (one VPU select, bit-identical results for finite inputs),
+    # so a future caller masking with -inf cannot silently produce
+    # duplicate indices.
+    x = jnp.where(jnp.isneginf(x), jnp.finfo(x.dtype).min, x)
     b = x.shape[0]
     rows = jnp.arange(b)
     vals, idxs = [], []

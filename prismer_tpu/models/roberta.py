@@ -38,6 +38,12 @@ Dtype = Any
 
 Cache = Dict[str, jax.Array]
 
+# Decode cross-attention implementation, bound ONCE at import (the flag is
+# read at trace time, so a post-compile os.environ flip would silently have
+# no effect — process-start-scoped by design; A/B harnesses run separate
+# processes). 'pallas' selects ops/decode_attention.grouped_cross_attention_t.
+DECODE_CROSS_IMPL = os.environ.get("PRISMER_DECODE_CROSS", "xla")
+
 
 def create_position_ids(input_ids: jax.Array, attention_mask: jax.Array,
                         padding_idx: int) -> jax.Array:
@@ -123,7 +129,7 @@ class SelfAttentionCore(nn.Module):
         h_heads, dh = q.shape[1], q.shape[3]
         q = q.reshape(b, beams, h_heads, p, dh).transpose(0, 2, 1, 3, 4)
         q = q.reshape(b, h_heads, beams * p, dh)
-        if os.environ.get("PRISMER_DECODE_CROSS") == "pallas":
+        if DECODE_CROSS_IMPL == "pallas":
             from prismer_tpu.ops.decode_attention import \
                 grouped_cross_attention_t
             out = grouped_cross_attention_t(q, kt, v)

@@ -194,4 +194,4 @@ def test_coco_eval_reports_rouge_and_meteor(tmp_path):
     results = [{"image_id": 1, "caption": "A dog running in the park."}]
     scores = coco_caption_eval(str(gt_path), results)
     assert scores["ROUGE_L"] > 0.99
-    assert scores["METEOR"] > 0.99
+    assert scores["METEOR_lite"] > 0.99
