@@ -212,10 +212,16 @@ def beam_search(model: Prismer, variables: Dict[str, Any],
         # multi-hundred-MB no-op every step)
         flat_beam = (new_alive_beam
                      + jnp.arange(b)[:, None] * k).reshape(-1)  # (B*K,)
-        cache = dict(
-            st.cache,
-            self_kt=jnp.take(st.cache["self_kt"], flat_beam, axis=1),
-            self_v=jnp.take(st.cache["self_v"], flat_beam, axis=1))
+        if "self_k_tn" in st.cache:  # fused layout (NL, T, N, D): N = axis 2
+            cache = dict(
+                st.cache,
+                self_k_tn=jnp.take(st.cache["self_k_tn"], flat_beam, axis=2),
+                self_v_tn=jnp.take(st.cache["self_v_tn"], flat_beam, axis=2))
+        else:
+            cache = dict(
+                st.cache,
+                self_kt=jnp.take(st.cache["self_kt"], flat_beam, axis=1),
+                self_v=jnp.take(st.cache["self_v"], flat_beam, axis=1))
 
         pos_ids = (st.prompt_nonpad[:, None] + (st.index - p) + 1
                    + pad_token_id)  # (B, 1) broadcast over beams
@@ -230,7 +236,8 @@ def beam_search(model: Prismer, variables: Dict[str, Any],
 
         step_logits, cache = model.apply(
             variables, new_tokens.reshape(-1), st.index, pos_ids,
-            key_mask, cache, k, method=Prismer.decode_step)
+            key_mask, cache, k, encoder_hidden_states.shape[1],
+            method=Prismer.decode_step)
 
         return BeamState(
             index=st.index + 1,

@@ -44,6 +44,25 @@ Cache = Dict[str, jax.Array]
 # processes). 'pallas' selects ops/decode_attention.grouped_cross_attention_t.
 DECODE_CROSS_IMPL = os.environ.get("PRISMER_DECODE_CROSS", "xla")
 
+# Fused whole-step decode kernel (ops/fused_decode.py): 'auto' enables it on
+# TPU backends only (the CPU interpreter is far slower than plain XLA there);
+# tests force it with set_fused_decode. Read at trace time.
+_FUSED_DECODE: str = os.environ.get("PRISMER_DECODE_FUSED", "auto")
+
+
+def set_fused_decode(mode: str) -> None:
+    """'on' | 'off' | 'auto' — must be called before the decode program is
+    traced/jitted to take effect."""
+    global _FUSED_DECODE
+    assert mode in ("on", "off", "auto"), mode
+    _FUSED_DECODE = mode
+
+
+def use_fused_decode() -> bool:
+    if _FUSED_DECODE == "auto":
+        return jax.default_backend() == "tpu"
+    return _FUSED_DECODE == "on"
+
 
 def create_position_ids(input_ids: jax.Array, attention_mask: jax.Array,
                         padding_idx: int) -> jax.Array:
@@ -350,6 +369,33 @@ class RobertaCausalDecoder(nn.Module):
         return self.lm_head(hidden, self.embeddings.word_embeddings)
 
     # -- cached decode ------------------------------------------------------
+    def _fused_cache(self, kts, vs, ckts, cvs) -> Cache:
+        """Convert prefill K/V into the fused-kernel layouts plus the packed
+        per-layer weights (ops/fused_decode.py module docstring). Weights are
+        packed ONCE per generate call and ride in the cache dict — repacking
+        per step would re-stream ~2x the weight bytes."""
+        from prismer_tpu.ops.fused_decode import (pack_cross_cache,
+                                                  pack_decode_weights)
+        c = self.cfg
+        # kt (N, H, Dh, T) -> (T, N, D); v (N, H, T, Dh) -> (T, N, D)
+        self_k = jnp.stack([
+            kt.transpose(3, 0, 1, 2).reshape(kt.shape[3], kt.shape[0], -1)
+            for kt in kts])
+        self_v = jnp.stack([
+            v.transpose(2, 0, 1, 3).reshape(v.shape[2], v.shape[0], -1)
+            for v in vs])
+        # ckt (B, H, Dh, L) -> natural (B, H, L, Dh) for the packer
+        kds, vcs = zip(*(pack_cross_cache(ckt.transpose(0, 1, 3, 2), cv)
+                         for ckt, cv in zip(ckts, cvs)))
+        params = self.variables["params"]
+        w_all, b_all = pack_decode_weights(
+            [params[f"layers_{i}"] for i in range(c.num_hidden_layers)],
+            params["output_layer"], c.hidden_size, c.intermediate_size,
+            self.dtype)
+        return {"self_k_tn": self_k, "self_v_tn": self_v,
+                "cross_kd": jnp.stack(kds), "cross_vc": jnp.stack(vcs),
+                "w_all": w_all, "b_all": b_all}
+
     def init_cache(self, input_ids: jax.Array, attention_mask: jax.Array,
                    encoder_hidden_states: jax.Array, max_len: int,
                    beams: int = 1) -> Tuple[jax.Array, Cache]:
@@ -382,6 +428,8 @@ class RobertaCausalDecoder(nn.Module):
         vs.append(v)
 
         logits = self.lm_head(hidden[:, -1:, :], self.embeddings.word_embeddings)
+        if use_fused_decode():
+            return logits[:, 0, :], self._fused_cache(kts, vs, ckts, cvs)
         cache = {
             "self_kt": jnp.stack(kts), "self_v": jnp.stack(vs),
             "cross_kt": jnp.stack(ckts), "cross_v": jnp.stack(cvs),
@@ -390,14 +438,18 @@ class RobertaCausalDecoder(nn.Module):
 
     def decode_step(self, token_ids: jax.Array, index: jax.Array,
                     position_ids: jax.Array, key_mask: jax.Array,
-                    cache: Cache, beams: int = 1) -> Tuple[jax.Array, Cache]:
+                    cache: Cache, beams: int = 1,
+                    cross_len: Optional[int] = None
+                    ) -> Tuple[jax.Array, Cache]:
         """One decode step.
 
         token_ids: (B*beams,) current tokens; index: scalar write position;
         position_ids: RoBERTa position ids for these tokens; key_mask:
         (B*beams, max_len) {0,1} validity of every cache slot (after this
         token is written). The cached cross K/V are per-sample (B rows).
-        Returns (next-token logits, updated cache).
+        cross_len: static true encoder length (required by the fused-kernel
+        path, whose cross cache is lane-padded). Returns (next-token logits,
+        updated cache).
 
         The self caches stay STACKED over layers — (NL, B, H, Dh, T) for the
         transposed K, (NL, B, H, T, Dh) for V — and each layer writes its
@@ -405,6 +457,9 @@ class RobertaCausalDecoder(nn.Module):
         previous per-layer slice + end-of-step jnp.stack re-materialized the
         whole 38 MB cache twice per step (the trace showed it as thousands
         of copy / update-slice fragments)."""
+        if "w_all" in cache:
+            return self._fused_decode_step(token_ids, index, position_ids,
+                                           key_mask, cache, beams, cross_len)
         hidden = self.embeddings(token_ids[:, None], position_ids[:, None])
         key_bias = ((1.0 - key_mask.astype(jnp.float32)) * NEG_INF)[:, None, None, :]
 
@@ -426,6 +481,42 @@ class RobertaCausalDecoder(nn.Module):
         logits = self.lm_head(hidden, self.embeddings.word_embeddings)
         cache = dict(cache, self_kt=self_kt, self_v=self_v)
         return logits[:, 0, :], cache
+
+    def _fused_decode_step(self, token_ids: jax.Array, index: jax.Array,
+                           position_ids: jax.Array, key_mask: jax.Array,
+                           cache: Cache, beams: int,
+                           cross_len: Optional[int]
+                           ) -> Tuple[jax.Array, Cache]:
+        """Whole-step Pallas path: all layer bodies in one kernel invocation
+        (ops/fused_decode.py); only embeddings, the LM head and the cache
+        column writes remain XLA ops."""
+        from prismer_tpu.ops.fused_decode import fused_decode_step
+        c = self.cfg
+        assert cross_len is not None, "fused decode needs static cross_len"
+        hidden = self.embeddings(token_ids[:, None],
+                                 position_ids[:, None])[:, 0, :]
+        t = cache["self_k_tn"].shape[1]
+        # additive bias over cached columns: a column is attendable iff the
+        # caller marks it valid AND it is not the current (not-yet-written)
+        # column — the kernel folds the fresh k_new/v_new in separately.
+        mask_t = key_mask.T.astype(jnp.float32)             # (T, N)
+        excl = jnp.arange(t)[:, None] != index
+        bias_tn = jnp.where((mask_t > 0) & excl, 0.0, NEG_INF)
+        hidden_out, k_new, v_new = fused_decode_step(
+            hidden, cache["w_all"], cache["b_all"], cache["self_k_tn"],
+            cache["self_v_tn"], bias_tn.astype(jnp.float32),
+            cache["cross_kd"], cache["cross_vc"],
+            heads=c.num_attention_heads, beams=beams, valid_len=cross_len,
+            eps=c.layer_norm_eps)
+        zero = jnp.zeros((), jnp.int32)
+        self_k = jax.lax.dynamic_update_slice(
+            cache["self_k_tn"], k_new[:, None], (zero, index, zero, zero))
+        self_v = jax.lax.dynamic_update_slice(
+            cache["self_v_tn"], v_new[:, None], (zero, index, zero, zero))
+        logits = self.lm_head(hidden_out[:, None, :],
+                              self.embeddings.word_embeddings)
+        return logits[:, 0, :], dict(cache, self_k_tn=self_k,
+                                     self_v_tn=self_v)
 
 
 def label_smoothed_loss(logits: jax.Array, labels: jax.Array,

@@ -1,0 +1,430 @@
+"""Fused whole-step decode kernel: all decoder layer bodies in ONE pallas_call.
+
+Why (measured, tools/profile_decode_parts.py): at Prismer-BASE b32 beam-3 the
+13 decode layer bodies cost 72.1 ms of the 194.7 ms pipeline against a ~30 ms
+HBM-traffic floor (cross-KV 1.14 GB + weights ~0.25 GB + self cache ~0.08 GB
+per step). The XLA per-op path streams the cross-KV at only ~352 GB/s and
+re-reads every weight through separate op boundaries; two previous per-op
+Pallas formulations LOST (ops/decode_attention.py documents both: per-head
+tiny dots are issue-latency-bound at ~87 GB/s). This kernel implements the
+only formulation the ablations did not falsify: one invocation per decode
+step, sequential grid over layers with the hidden state carried in VMEM
+scratch, so every byte of cross-KV, weights and self-cache is streamed
+exactly once per step and overlapped with compute.
+
+Reference path being replaced: the cache-less HF decode of
+model/modules/roberta.py:358-406 (the XLA cached path in
+models/roberta.py:decode_step is the numerical spec).
+
+Design (per decode step, grid = (NL, B + 2), iterated layer-major):
+
+  phase j == 0 (head): one (N, D) x (D, 3D) matmul makes q / k_new / v_new
+    for all N = B*beams rows; k_new/v_new are kernel outputs (the caller
+    writes them into the cache at `index`). Self-attention over the T cached
+    columns never touches the MXU per-row: scores come from one broadcasted
+    multiply (T, N, D) and a single (T*N, D) x (D, 128) matmul against a 0/1
+    head-grouping matrix G[d, h] = [d // Dh == h] (sums each head's Dh lanes);
+    probabilities are expanded back over lanes with G^T (exact replication —
+    each row of G^T has a single 1). The current token's column is folded in
+    separately (the cache column at `index` is stale at kernel time and is
+    masked out via bias_tn). fp32 softmax, probabilities rounded to the
+    compute dtype after normalization — bit-matching the XLA path's
+    softmax(f32).astype(bf16) order. Then self out-proj + LN.
+    Also builds the per-sample cross query layout (below).
+
+  phases j in [1, B] (cross, layers with cross-attention only): sample
+    s = j - 1. Beam-grouped cross-attention as TWO WIDE MXU matmuls instead
+    of per-head dots:
+      S = Q_wide (H*8, Dh) @ KD (Dh, H*Lp)      head h's beam rows live in
+                                                 row block [8h, 8h+8); only
+                                                 the block diagonal of S is
+                                                 meaningful (12x redundant
+                                                 FLOPs, free — the op is
+                                                 bandwidth-bound)
+      block-diagonal extract -> (H*8, Lp), fp32 softmax over the true L
+      M = P (H*8, Lp) @ VC (Lp, H*Dh)           VC[l, h*Dh+d] = v[h, l, d];
+                                                 diagonal (8, Dh) blocks of M
+                                                 are the per-head outputs
+    The KD / VC blocks (one sample, one layer) are BlockSpec-streamed, so
+    Mosaic double-buffers the dominant HBM traffic automatically.
+
+  phase j == B + 1 (tail): cross out-proj + LN + adaptor (squared-ReLU,
+    late-LN) + MLP (gelu, W2 pre-chunked to (F/D) x (D, D) blocks so one
+    packed (D, P) weight tensor serves every matmul) + LN. Writes the final
+    hidden at the last layer.
+
+Weight streaming: all per-layer matmul weights live in ONE packed tensor
+w_all (NL, D, P), P = 8D + 2F, BlockSpec-fetched per layer; biases and LN
+params in b_all (NL, 17D + F) fp32. Column layout (offsets in units of D):
+
+  w_all: [0,3) qkv | [3,4) self-out | [4,5) cross-q | [5,6) cross-out
+         | [6,7) adaptor-down | [7,8) adaptor-up | [8, 8+F/D) mlp-in
+         | [8+F/D, 8+2F/D) mlp-out chunks (row block c of the (F, D) kernel)
+  b_all: [0,3) qkv | [3,4) self-out | [4,6) ln1 s,b | [6,7) cross-q
+         | [7,8) cross-out | [8,10) ln2 s,b | [10,11) ad-down | [11,12) ad-up
+         | [12,14) ln-ad s,b | [14,14+F/D) mlp-in | +1 mlp-out | +2 ln3 s,b
+
+Cache layouts (fused mode, built by init_cache):
+  self_k / self_v: (NL, T, N, D)      — per-step column write is ONE
+                                        contiguous dynamic_update_slice
+  cross_kd:        (NLc, B, Dh, H*Lp) — K pre-transposed per head and
+                                        concatenated head-major on lanes
+  cross_vc:        (NLc, B, Lp, H*Dh) — V concatenated head-major on lanes
+
+Layers without cross-attention (the reference's final output_layer,
+roberta.py:210) skip phases via i >= nlc; their packed cross/adaptor weight
+slots are zero and their cross block indices are pinned to the previous
+block so no HBM fetch happens.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+QP = 8  # beam rows per head block (beams padded up to this)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# weight / cache packing
+# ---------------------------------------------------------------------------
+
+def pack_decode_weights(layer_params, output_params, dim: int, mlp_dim: int,
+                        dtype) -> Tuple[jax.Array, jax.Array]:
+    """Pack per-layer decoder params into (w_all (NL, D, P), b_all (NL, PB)).
+
+    layer_params: list of the flax param dicts of the cross-attention layers
+    (keys self_attn/self_out/cross_attn/cross_out/adaptor/mlp); output_params:
+    the final no-cross layer. Cross/adaptor slots of the output layer are
+    zero-filled (never read — the kernel skips those phases)."""
+    d, f = dim, mlp_dim
+    nch = f // d
+    assert nch * d == f, (d, f)
+
+    def layer_pack(p, with_cross):
+        zeros_w = jnp.zeros((d, d), jnp.float32)
+        zeros_b = jnp.zeros((d,), jnp.float32)
+        ones_b = jnp.ones((d,), jnp.float32)
+        sa, so = p["self_attn"], p["self_out"]
+        mlp = p["mlp"]
+        cols = [sa["query"]["kernel"], sa["key"]["kernel"],
+                sa["value"]["kernel"], so["dense"]["kernel"]]
+        if with_cross:
+            ca, co, ad = p["cross_attn"], p["cross_out"], p["adaptor"]
+            cols += [ca["query"]["kernel"], co["dense"]["kernel"],
+                     ad["down_proj"]["kernel"], ad["up_proj"]["kernel"]]
+        else:
+            cols += [zeros_w] * 4
+        cols.append(mlp["intermediate"]["kernel"])          # (D, F)
+        w2 = mlp["out"]["dense"]["kernel"]                  # (F, D)
+        cols += [w2[c * d:(c + 1) * d] for c in range(nch)]
+        w = jnp.concatenate([c.astype(jnp.float32) for c in cols], axis=1)
+
+        bs = [sa["query"]["bias"], sa["key"]["bias"], sa["value"]["bias"],
+              so["dense"]["bias"], so["ln"]["scale"], so["ln"]["bias"]]
+        if with_cross:
+            ca, co, ad = p["cross_attn"], p["cross_out"], p["adaptor"]
+            bs += [ca["query"]["bias"], co["dense"]["bias"],
+                   co["ln"]["scale"], co["ln"]["bias"],
+                   ad["down_proj"]["bias"], ad["up_proj"]["bias"],
+                   ad["adaptor_ln"]["scale"], ad["adaptor_ln"]["bias"]]
+        else:
+            bs += [zeros_b, zeros_b, ones_b, zeros_b,
+                   zeros_b, zeros_b, ones_b, zeros_b]
+        bs += [mlp["intermediate"]["bias"], mlp["out"]["dense"]["bias"],
+               mlp["out"]["ln"]["scale"], mlp["out"]["ln"]["bias"]]
+        b = jnp.concatenate([x.astype(jnp.float32) for x in bs])
+        return w, b
+
+    packed = [layer_pack(p, True) for p in layer_params]
+    packed.append(layer_pack(output_params, False))
+    w_all = jnp.stack([w for w, _ in packed]).astype(dtype)
+    b_all = jnp.stack([b for _, b in packed])
+    return w_all, b_all
+
+
+def pack_cross_cache(ck: jax.Array, cv: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(B, H, L, Dh) cross K/V -> kernel layouts.
+
+    Returns (kd (B, Dh, H*Lp), vc (B, Lp, H*Dh)) with L zero-padded to a
+    lane-aligned Lp (padding keys are masked in-kernel via the static L)."""
+    b, h, l, dh = ck.shape
+    lp = _round_up(l, 128)
+    if lp != l:
+        pad = ((0, 0), (0, 0), (0, lp - l), (0, 0))
+        ck, cv = jnp.pad(ck, pad), jnp.pad(cv, pad)
+    kd = ck.transpose(0, 3, 1, 2).reshape(b, dh, h * lp)
+    vc = cv.transpose(0, 2, 1, 3).reshape(b, lp, h * dh)
+    return kd, vc
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _ln(x32, scale, bias, eps):
+    """fp32 LayerNorm matching models/layers.py fp32_layer_norm."""
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    return (x32 - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _kernel(hidden0_ref, w_ref, b_ref, selfk_ref, selfv_ref, bias_tn_ref,
+            crossk_ref, crossv_ref,
+            hidden_out_ref, knew_ref, vnew_ref,
+            h_s, qw_s, co_s, *,
+            heads: int, dh: int, nlc: int, batch: int, beams: int,
+            valid_len: int, eps: float, dtype):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    d = h_s.shape[1]
+    t = selfk_ref.shape[1]
+    n = h_s.shape[0]
+    lp = crossv_ref.shape[2]
+    hp8 = heads * QP
+    scale = 1.0 / np.sqrt(dh)
+    f32 = jnp.float32
+
+    def matmul(x, w):
+        return jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def dense(x, w_lo, w_hi, b_lo):
+        """x @ w_all[:, w_lo:w_hi] rounded to compute dtype + fp32-row bias
+        cast to compute dtype — the flax Dense(dtype=...) arithmetic."""
+        out = matmul(x, w_ref[0, :, w_lo:w_hi]).astype(dtype)
+        return out + b_ref[0, b_lo:b_lo + (w_hi - w_lo)].astype(dtype)
+
+    def layer_norm(x, res, s_lo):
+        y = _ln(x.astype(f32) + res.astype(f32),
+                b_ref[0, s_lo:s_lo + d], b_ref[0, s_lo + d:s_lo + 2 * d], eps)
+        return y.astype(dtype)
+
+    def head_group_matrix():
+        """(D, 128) 0/1 matrix: col h sums lanes [h*Dh, (h+1)*Dh)."""
+        rows = jax.lax.broadcasted_iota(jnp.int32, (d, 128), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (d, 128), 1)
+        return (rows // dh == cols).astype(dtype)
+
+    def head_expand_matrix():
+        """(128, D) 0/1 matrix: row h replicates over lanes [h*Dh, (h+1)*Dh)
+        (G^T, built directly — cheaper than transposing G in VMEM)."""
+        rows = jax.lax.broadcasted_iota(jnp.int32, (128, d), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (128, d), 1)
+        return (cols // dh == rows).astype(dtype)
+
+    # ---------------- head phase: self-attention + new K/V ----------------
+    @pl.when(j == 0)
+    def _head():
+        @pl.when(i == 0)
+        def _():
+            h_s[:] = hidden0_ref[:]
+
+        x = h_s[:]
+        qkv = dense(x, 0, 3 * d, 0)
+        q, k_new, v_new = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
+        knew_ref[0] = k_new
+        vnew_ref[0] = v_new
+
+        g = head_group_matrix()
+        kc = selfk_ref[0]                                   # (T, N, D)
+        prod = (kc * q[None, :, :]).reshape(t * n, d)
+        s = (matmul(prod, g) * scale).reshape(t, n, 128)
+        s = s + bias_tn_ref[:][:, :, None]
+        s_cur = matmul((k_new * q).reshape(n, d), g) * scale  # (N, 128)
+        m = jnp.maximum(jnp.max(s, axis=0), s_cur)          # (N, 128)
+        p = jnp.exp(s - m[None])
+        p_cur = jnp.exp(s_cur - m)
+        den = jnp.sum(p, axis=0) + p_cur
+        # normalize in fp32, THEN round to compute dtype (XLA softmax order)
+        pn = (p / den[None]).astype(dtype)
+        pn_cur = (p_cur / den).astype(dtype)
+        gt = head_expand_matrix()                           # (128, D)
+        pe = matmul(pn.reshape(t * n, 128), gt).reshape(t, n, d)
+        att = jnp.sum(pe * selfv_ref[0].astype(f32), axis=0)
+        att = att + matmul(pn_cur, gt) * v_new.astype(f32)
+        o = dense(att.astype(dtype), 3 * d, 4 * d, 3 * d)
+        h_s[:] = layer_norm(o, x, 4 * d)
+
+        # cross query layout: qw_s[b, h*QP + j_beam, :] = qc[b*K + j_beam,
+        # h*Dh:(h+1)*Dh]; built once per layer, consumed per sample phase
+        @pl.when(i < nlc)
+        def _():
+            qc = dense(h_s[:], 4 * d, 5 * d, 6 * d)
+            qw_s[:] = jnp.zeros(qw_s.shape, qw_s.dtype)
+            for h in range(heads):
+                blk = qc[:, h * dh:(h + 1) * dh].reshape(batch, beams, dh)
+                qw_s[:, h * QP:h * QP + beams, :] = blk
+
+    # ---------------- cross phases: one sample per grid step --------------
+    @pl.when((i < nlc) & (j >= 1) & (j <= batch))
+    def _cross():
+        s_idx = j - 1
+        q = qw_s[s_idx]                                     # (H*QP, Dh)
+        kd = crossk_ref[0, 0]                               # (Dh, H*Lp)
+        s = matmul(q, kd) * scale                           # (H*QP, H*Lp) f32
+        row_blk = jax.lax.broadcasted_iota(jnp.int32, (hp8, lp), 0) // QP
+        sd = s[:, :lp]
+        for h in range(1, heads):
+            sd = jnp.where(row_blk == h, s[:, h * lp:(h + 1) * lp], sd)
+        if valid_len < lp:
+            cols = jax.lax.broadcasted_iota(jnp.int32, (hp8, lp), 1)
+            sd = jnp.where(cols < valid_len, sd, NEG_INF)
+        m = jnp.max(sd, axis=1, keepdims=True)
+        p = jnp.exp(sd - m)
+        pn = (p / jnp.sum(p, axis=1, keepdims=True)).astype(dtype)
+        mm = matmul(pn, crossv_ref[0, 0])                   # (H*QP, H*Dh) f32
+        row_blk_d = jax.lax.broadcasted_iota(jnp.int32, (hp8, dh), 0) // QP
+        o = mm[:, :dh]
+        for h in range(1, heads):
+            o = jnp.where(row_blk_d == h, mm[:, h * dh:(h + 1) * dh], o)
+        co_s[s_idx] = o.astype(dtype)
+
+    # ---------------- tail phase: cross-out + adaptor + MLP ---------------
+    @pl.when(j == batch + 1)
+    def _tail():
+        @pl.when(i < nlc)
+        def _():
+            parts = []
+            for h in range(heads):
+                blk = co_s[:, h * QP:h * QP + beams, :]     # (B, K, Dh)
+                parts.append(blk.reshape(n, dh))
+            outc = jnp.concatenate(parts, axis=1)           # (N, D)
+            x = h_s[:]
+            o = dense(outc, 5 * d, 6 * d, 7 * d)
+            x = layer_norm(o, x, 8 * d)
+            a = dense(x, 6 * d, 7 * d, 10 * d)
+            r = jnp.maximum(a, 0)
+            a = dense((r * r).astype(dtype), 7 * d, 8 * d, 11 * d)
+            h_s[:] = layer_norm(a, x, 12 * d)
+
+        x = h_s[:]
+        f = w_ref.shape[2] // 2 - 4 * d                     # P = 8D + 2F
+        nch = f // d
+        h1 = dense(x, 8 * d, 8 * d + f, 14 * d)
+        h1 = jax.nn.gelu(h1.astype(f32), approximate=False).astype(dtype)
+        acc = matmul(h1[:, :d], w_ref[0, :, 8 * d + f:9 * d + f])
+        for c in range(1, nch):
+            acc += matmul(h1[:, c * d:(c + 1) * d],
+                          w_ref[0, :, (8 + c) * d + f:(9 + c) * d + f])
+        b_lo = 14 * d + f
+        h2 = acc.astype(dtype) + b_ref[0, b_lo:b_lo + d].astype(dtype)
+        h_s[:] = layer_norm(h2, x, 15 * d + f)
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            hidden_out_ref[:] = h_s[:]
+
+
+def fused_decode_step(hidden0: jax.Array, w_all: jax.Array, b_all: jax.Array,
+                      self_k: jax.Array, self_v: jax.Array,
+                      bias_tn: jax.Array, cross_kd: jax.Array,
+                      cross_vc: jax.Array, *, heads: int, beams: int,
+                      valid_len: int, eps: float = 1e-5,
+                      interpret: Optional[bool] = None
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One whole decode step over all layers.
+
+    hidden0 (N, D) embeddings output; self_k/self_v (NL, T, N, D);
+    bias_tn (T, N) fp32 additive self-attn bias (NEG_INF on invalid cache
+    columns INCLUDING the not-yet-written current column); cross_kd
+    (NLc, B, Dh, H*Lp); cross_vc (NLc, B, Lp, H*Dh); valid_len = true
+    encoder length L <= Lp. Returns (hidden_out (N, D), k_new (NL, N, D),
+    v_new (NL, N, D)) — the caller writes k_new/v_new into the caches at the
+    current column.
+    """
+    n, d = hidden0.shape
+    nl, t = self_k.shape[0], self_k.shape[1]
+    nlc, b = cross_kd.shape[0], cross_kd.shape[1]
+    dh = d // heads
+    lp = cross_vc.shape[2]
+    assert n == b * beams and beams <= QP, (n, b, beams)
+    assert cross_kd.shape[3] == heads * lp and cross_vc.shape[3] == d
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    dtype = hidden0.dtype
+
+    def li(i, j):
+        del j
+        return i
+
+    def cross_idx(i, j):
+        layer = jnp.minimum(i, nlc - 1)
+        sample = jnp.where(i < nlc, jnp.clip(j - 1, 0, b - 1), b - 1)
+        return layer, sample, 0, 0
+
+    kern = functools.partial(
+        _kernel, heads=heads, dh=dh, nlc=nlc, batch=b, beams=beams,
+        valid_len=valid_len, eps=eps, dtype=dtype)
+
+    p = w_all.shape[2]
+    f = (p - 8 * d) // 2
+    flops_cross = 2 * 2 * nlc * b * (heads * QP) * dh * heads * lp
+    flops_dense = 2 * nl * n * d * (8 * d + 2 * f)
+    bytes_acc = (w_all.size * w_all.dtype.itemsize
+                 + (cross_kd.size + cross_vc.size) * cross_kd.dtype.itemsize
+                 + (self_k.size + self_v.size) * self_k.dtype.itemsize)
+
+    grid = (nl, b + 2)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, p), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_all.shape[1]), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, n, d), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, n, d), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, n), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dh, heads * lp), cross_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lp, d), cross_idx,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, d), dtype),
+            jax.ShapeDtypeStruct((nl, n, d), dtype),
+            jax.ShapeDtypeStruct((nl, n, d), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, d), dtype),                     # hidden
+            pltpu.VMEM((b, heads * QP, dh), dtype),        # cross queries
+            pltpu.VMEM((b, heads * QP, dh), dtype),        # cross outputs
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_cross + flops_dense,
+            bytes_accessed=bytes_acc,
+            transcendentals=nlc * b * heads * QP * lp + nl * t * n * 128,
+        ),
+        interpret=interpret,
+    )(hidden0, w_all, b_all, self_k, self_v, bias_tn, cross_kd, cross_vc)
+    return out[0], out[1], out[2]
