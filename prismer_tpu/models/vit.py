@@ -37,6 +37,16 @@ from prismer_tpu.models.layers import (Adaptor, LayerNorm, Mlp,
 from prismer_tpu.models.resampler import PerceiverResampler
 from prismer_tpu.ops.resize import bilinear_resize_align_corners, nearest_resize
 
+
+def draw_instance_slots(key: jax.Array, max_instances: int,
+                        num_slots: int) -> jax.Array:
+    """Per-forward random slot assignment for the instance embedding
+    (vit.py:146 re-rolls python random.randint every forward). Module-level
+    so the reference-oracle test can pin BOTH implementations to one recorded
+    slot sequence (the reference draws via python random, which no jax key
+    can reproduce)."""
+    return jax.random.randint(key, (max_instances,), 0, num_slots)
+
 Dtype = Any
 
 # modality groups (vit.py:86-120)
@@ -194,8 +204,8 @@ class VisionTransformer(nn.Module):
         # fixed key otherwise (deterministic eval)
         key = (self.make_rng("instance") if self.has_rng("instance")
                else jax.random.key(0))
-        slots = jax.random.randint(key, (cfg.max_instances,), 0,
-                                   cfg.num_instance_slots)
+        slots = draw_instance_slots(key, cfg.max_instances,
+                                    cfg.num_instance_slots)
         inst_small = nearest_resize(instance.astype(jnp.int32),
                                     x.shape[1], x.shape[2])[..., 0]
         emb = table.astype(x.dtype)[slots[inst_small]]

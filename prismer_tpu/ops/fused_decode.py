@@ -173,6 +173,18 @@ def pack_cross_cache(ck: jax.Array, cv: jax.Array) -> Tuple[jax.Array, jax.Array
 # kernel
 # ---------------------------------------------------------------------------
 
+def _erf(x):
+    """fp32 erf from exp-only primitives (Mosaic implements neither erf nor
+    erfc). Abramowitz & Stegun 7.1.26: |error| <= 1.5e-7 absolute — an order
+    below the fused-path parity tolerance and far below bf16 resolution."""
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _ln(x32, scale, bias, eps):
     """fp32 LayerNorm matching models/layers.py fp32_layer_norm."""
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -183,7 +195,7 @@ def _ln(x32, scale, bias, eps):
 def _kernel(hidden0_ref, w_ref, b_ref, selfk_ref, selfv_ref, bias_tn_ref,
             crossk_ref, crossv_ref,
             hidden_out_ref, knew_ref, vnew_ref,
-            h_s, qw_s, co_s, *,
+            h_s, qc_s, co_s, *,
             heads: int, dh: int, nlc: int, batch: int, beams: int,
             valid_len: int, eps: float, dtype):
     i = pl.program_id(0)
@@ -204,11 +216,12 @@ def _kernel(hidden0_ref, w_ref, b_ref, selfk_ref, selfv_ref, bias_tn_ref,
         """x @ w_all[:, w_lo:w_hi] rounded to compute dtype + fp32-row bias
         cast to compute dtype — the flax Dense(dtype=...) arithmetic."""
         out = matmul(x, w_ref[0, :, w_lo:w_hi]).astype(dtype)
-        return out + b_ref[0, b_lo:b_lo + (w_hi - w_lo)].astype(dtype)
+        return out + b_ref[0, 0, b_lo:b_lo + (w_hi - w_lo)].astype(dtype)
 
     def layer_norm(x, res, s_lo):
         y = _ln(x.astype(f32) + res.astype(f32),
-                b_ref[0, s_lo:s_lo + d], b_ref[0, s_lo + d:s_lo + 2 * d], eps)
+                b_ref[0, 0, s_lo:s_lo + d],
+                b_ref[0, 0, s_lo + d:s_lo + 2 * d], eps)
         return y.astype(dtype)
 
     def head_group_matrix():
@@ -257,21 +270,29 @@ def _kernel(hidden0_ref, w_ref, b_ref, selfk_ref, selfv_ref, bias_tn_ref,
         o = dense(att.astype(dtype), 3 * d, 4 * d, 3 * d)
         h_s[:] = layer_norm(o, x, 4 * d)
 
-        # cross query layout: qw_s[b, h*QP + j_beam, :] = qc[b*K + j_beam,
-        # h*Dh:(h+1)*Dh]; built once per layer, consumed per sample phase
+        # cross queries: plain (N, D) activations in a row-padded scratch;
+        # each sample phase assembles its own (H*QP, Dh) block via aligned
+        # dynamic-slice reads. (A (N, Dh)->(B, beams, Dh) vector reshape —
+        # sublane regrouping — is an unsupported Mosaic shape cast.)
         @pl.when(i < nlc)
         def _():
-            qc = dense(h_s[:], 4 * d, 5 * d, 6 * d)
-            qw_s[:] = jnp.zeros(qw_s.shape, qw_s.dtype)
-            for h in range(heads):
-                blk = qc[:, h * dh:(h + 1) * dh].reshape(batch, beams, dh)
-                qw_s[:, h * QP:h * QP + beams, :] = blk
+            qc_s[:n, :] = dense(h_s[:], 4 * d, 5 * d, 6 * d)
+
+            @pl.when(i == 0)
+            def _():  # padding rows must be finite (NaN-hygiene)
+                qc_s[n:, :] = jnp.zeros((QP, d), qc_s.dtype)
 
     # ---------------- cross phases: one sample per grid step --------------
     @pl.when((i < nlc) & (j >= 1) & (j <= batch))
     def _cross():
         s_idx = j - 1
-        q = qw_s[s_idx]                                     # (H*QP, Dh)
+        row0 = s_idx * beams
+        # Q_wide rows [h*QP, (h+1)*QP): QP aligned rows starting at the
+        # sample's first beam row (rows beyond `beams` hold the neighbour
+        # sample's values — finite garbage, never extracted)
+        q = jnp.concatenate(
+            [qc_s[pl.ds(row0, QP), h * dh:(h + 1) * dh]
+             for h in range(heads)], axis=0)                # (H*QP, Dh)
         kd = crossk_ref[0, 0]                               # (Dh, H*Lp)
         s = matmul(q, kd) * scale                           # (H*QP, H*Lp) f32
         row_blk = jax.lax.broadcasted_iota(jnp.int32, (hp8, lp), 0) // QP
@@ -285,22 +306,18 @@ def _kernel(hidden0_ref, w_ref, b_ref, selfk_ref, selfv_ref, bias_tn_ref,
         p = jnp.exp(sd - m)
         pn = (p / jnp.sum(p, axis=1, keepdims=True)).astype(dtype)
         mm = matmul(pn, crossv_ref[0, 0])                   # (H*QP, H*Dh) f32
-        row_blk_d = jax.lax.broadcasted_iota(jnp.int32, (hp8, dh), 0) // QP
-        o = mm[:, :dh]
-        for h in range(1, heads):
-            o = jnp.where(row_blk_d == h, mm[:, h * dh:(h + 1) * dh], o)
-        co_s[s_idx] = o.astype(dtype)
+        o = mm.astype(dtype)
+        # scatter the diagonal (beams, Dh) blocks into sample rows
+        for h in range(heads):
+            co_s[pl.ds(row0, beams), h * dh:(h + 1) * dh] = (
+                o[h * QP:h * QP + beams, h * dh:(h + 1) * dh])
 
     # ---------------- tail phase: cross-out + adaptor + MLP ---------------
     @pl.when(j == batch + 1)
     def _tail():
         @pl.when(i < nlc)
         def _():
-            parts = []
-            for h in range(heads):
-                blk = co_s[:, h * QP:h * QP + beams, :]     # (B, K, Dh)
-                parts.append(blk.reshape(n, dh))
-            outc = jnp.concatenate(parts, axis=1)           # (N, D)
+            outc = co_s[:n, :]                              # (N, D)
             x = h_s[:]
             o = dense(outc, 5 * d, 6 * d, 7 * d)
             x = layer_norm(o, x, 8 * d)
@@ -313,13 +330,16 @@ def _kernel(hidden0_ref, w_ref, b_ref, selfk_ref, selfv_ref, bias_tn_ref,
         f = w_ref.shape[2] // 2 - 4 * d                     # P = 8D + 2F
         nch = f // d
         h1 = dense(x, 8 * d, 8 * d + f, 14 * d)
-        h1 = jax.nn.gelu(h1.astype(f32), approximate=False).astype(dtype)
+        # exact-erf GELU via the polynomial _erf (Mosaic implements neither
+        # erf nor erfc, which jax.nn.gelu(approximate=False) lowers through)
+        h32 = h1.astype(f32)
+        h1 = (0.5 * h32 * (1.0 + _erf(h32 * (2.0 ** -0.5)))).astype(dtype)
         acc = matmul(h1[:, :d], w_ref[0, :, 8 * d + f:9 * d + f])
         for c in range(1, nch):
             acc += matmul(h1[:, c * d:(c + 1) * d],
                           w_ref[0, :, (8 + c) * d + f:(9 + c) * d + f])
         b_lo = 14 * d + f
-        h2 = acc.astype(dtype) + b_ref[0, b_lo:b_lo + d].astype(dtype)
+        h2 = acc.astype(dtype) + b_ref[0, 0, b_lo:b_lo + d].astype(dtype)
         h_s[:] = layer_norm(h2, x, 15 * d + f)
 
         @pl.when(i == pl.num_programs(0) - 1)
@@ -385,7 +405,9 @@ def fused_decode_step(hidden0: jax.Array, w_all: jax.Array, b_all: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d, p), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b_all.shape[1]), lambda i, j: (i, 0),
+            # (NL, 1, PB): a (1, 1, PB) block keeps Mosaic's last-two-dims
+            # rule satisfied (a 2-D (1, PB) block would not)
+            pl.BlockSpec((1, 1, b_all.shape[1]), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t, n, d), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -412,9 +434,11 @@ def fused_decode_step(hidden0: jax.Array, w_all: jax.Array, b_all: jax.Array,
             jax.ShapeDtypeStruct((nl, n, d), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n, d), dtype),                     # hidden
-            pltpu.VMEM((b, heads * QP, dh), dtype),        # cross queries
-            pltpu.VMEM((b, heads * QP, dh), dtype),        # cross outputs
+            pltpu.VMEM((n, d), dtype),           # hidden
+            pltpu.VMEM((n + QP, d), dtype),      # cross-q (row-padded so
+            pltpu.VMEM((n + QP, d), dtype),      # cross-out aligned QP-row
+                                                 # dynamic slices stay
+                                                 # in-bounds)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -426,5 +450,6 @@ def fused_decode_step(hidden0: jax.Array, w_all: jax.Array, b_all: jax.Array,
             transcendentals=nlc * b * heads * QP * lp + nl * t * n * 128,
         ),
         interpret=interpret,
-    )(hidden0, w_all, b_all, self_k, self_v, bias_tn, cross_kd, cross_vc)
+    )(hidden0, w_all, b_all[:, None, :], self_k, self_v, bias_tn,
+      cross_kd, cross_vc)
     return out[0], out[1], out[2]

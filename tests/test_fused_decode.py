@@ -130,16 +130,37 @@ def test_fused_beam_search_end_to_end():
     variables = model.init(jax.random.key(0), inputs, ids, mask)
     enc = model.apply(variables, inputs, method=Prismer.encode)
 
-    def run():
-        return beam_search(
-            model, variables, enc, ids, mask, num_beams=3, max_length=12,
-            min_length=6, length_penalty=1.0,
-            eos_token_id=cfg.decoder.eos_token_id,
-            pad_token_id=cfg.decoder.pad_token_id)
+    def make_run(mode):
+        # a FRESH function object per mode: jax's tracing cache is keyed on
+        # function identity, so re-jitting the same function after flipping
+        # the module flag would silently reuse the first trace (verified)
+        rb.set_fused_decode(mode)
 
-    rb.set_fused_decode("off")
-    seq_x, sc_x = jax.jit(run)()
-    rb.set_fused_decode("on")
-    seq_f, sc_f = jax.jit(run)()
+        def run():
+            return beam_search(
+                model, variables, enc, ids, mask, num_beams=3, max_length=12,
+                min_length=6, length_penalty=1.0,
+                eos_token_id=cfg.decoder.eos_token_id,
+                pad_token_id=cfg.decoder.pad_token_id)
+        return jax.jit(run)
+
+    seq_x, sc_x = make_run("off")()
+
+    # prove the fused trace actually reaches the kernel (guards against the
+    # function-identity retrace hazard this test once fell into)
+    import prismer_tpu.ops.fused_decode as fd
+    calls = []
+    orig = fd.fused_decode_step
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    fd.fused_decode_step = counting
+    try:
+        seq_f, sc_f = make_run("on")()
+    finally:
+        fd.fused_decode_step = orig
+    assert calls, "fused path was never traced"
     np.testing.assert_array_equal(np.asarray(seq_f), np.asarray(seq_x))
     np.testing.assert_allclose(np.asarray(sc_f), np.asarray(sc_x), atol=1e-4)

@@ -16,10 +16,12 @@ state_dict through `convert_prismer_checkpoint`, and asserts:
         prismer_vqa.py:51-57), with and without an EOS-boosted LM bias so
         the finished-pool bookkeeping is genuinely exercised.
 
-obj_detection is excluded from (i): its instance embedding draws
-`random.randint` slots per forward (vit.py:141-148), so the reference is
-non-deterministic there; slot-add semantics are pinned separately in
-tests/test_models.py.
+  (v)   rank inference (the VQA/classification eval path) matches the
+        reference's own two-pass rank code, ties and padded answers included
+  (vi)  obj_detection joins encoder parity: the reference's per-forward
+        `random.randint` instance slots (vit.py:141-148) are pinned to a
+        recorded sequence on both sides (6-expert full-width case) — no
+        modality is excluded from (i) any more.
 
 transformers>=4.50 no longer mixes GenerationMixin into PreTrainedModel, so
 the harness subclasses the reference decoder with the mixin — the generate
@@ -276,6 +278,173 @@ def test_generate_vqa_settings_match_hf(seed, eos_boost, rng):
     _compare_generate(ref_dec, model, variables, prompt, mask, enc,
                       max_length=p + 10, min_length=p + 2,
                       length_penalty=-1.0)
+
+
+# ---------------------------------------------------------------------------
+# rank-inference parity vs the reference's own two-pass rank code
+# ---------------------------------------------------------------------------
+
+def _reference_rank(ref_dec, enc_t, start_ids, attention_masks, answer_ids,
+                    answer_mask, k_test):
+    """The reference's rank path verbatim minus the tokenizer
+    (prismer_vqa.py:64-113 / prismer_caption.py:59-112): token arrays in,
+    answer ids out. Preserves every quirk, including reading the last-column
+    logits of right-padded prompts and masking targets to the trailing
+    answer-length window."""
+    import torch.nn.functional as F
+    sys.path.insert(0, REFERENCE)
+    from model.prismer_vqa import tile
+
+    with torch.no_grad():
+        start_output = ref_dec(start_ids, attention_mask=attention_masks,
+                               encoder_hidden_states=enc_t, return_dict=True)
+        logits = start_output.logits[:, -1, :]
+        answer_first_token = answer_ids[:, 0]
+        prob_first_token = F.softmax(logits, dim=1).index_select(
+            dim=1, index=answer_first_token)
+        _, topk_ids = prob_first_token.topk(k_test, dim=1)
+
+        answer_input_ids, answer_input_atts = [], []
+        for b, topk_id in enumerate(topk_ids):
+            answer_input_ids.append(answer_ids.index_select(0, topk_id))
+            answer_input_atts.append(answer_mask.index_select(0, topk_id))
+        answer_input_ids = torch.cat(answer_input_ids, dim=0)
+        answer_input_atts = torch.cat(answer_input_atts, dim=0)
+
+        input_ids = torch.cat([tile(start_ids, 0, k_test),
+                               answer_input_ids], dim=1).long()
+        attention_masks2 = torch.cat([tile(attention_masks, 0, k_test),
+                                      answer_input_atts], dim=1)
+        enc_tiled = tile(enc_t, 0, k_test)
+
+        answer_targets = input_ids.masked_fill(input_ids == 1, -100)
+        answer_targets[:, :-answer_ids.shape[1]] = -100
+
+        output = ref_dec(input_ids, attention_mask=attention_masks2,
+                         encoder_hidden_states=enc_tiled,
+                         labels=answer_targets, return_dict=True)
+        log_probs_sum = -output.loss / torch.sum(
+            answer_targets != -100, dim=-1)
+        log_probs_sum = log_probs_sum.view(-1, k_test)
+        max_topk_ids = log_probs_sum.argmax(dim=1)
+        max_ids = topk_ids[max_topk_ids >= 0, max_topk_ids]
+    return np.asarray(max_ids)
+
+
+@pytest.mark.parametrize("k_test", [4, 16])
+def test_rank_inference_matches_reference(composed, rng, k_test):
+    """Two-pass rank inference (the VQA/classification eval path) against the
+    reference's own code run on the composed full-width torch model —
+    including right-padded prompts, variable-length (padded) answers, and a
+    duplicated answer (an exact score tie)."""
+    from prismer_tpu.models.generation import rank_answers
+
+    ref_vit, ref_dec, model, cfg, variables = composed
+    torch_x, jax_x = _paired_inputs(cfg, rng)
+    with torch.no_grad():
+        enc_t = ref_vit(torch_x).permute(1, 0, 2)
+
+    # right-padded prompts (tokenizer padding='longest', pad id 1)
+    start_ids = np.array([[0, 250, 35, 77, 90],
+                          [0, 99, 7, 1, 1]], np.int64)
+    attn = (start_ids != 1).astype(np.int64)
+
+    # 24 variable-length answers, ' Cap</s>'-style: no BOS, trailing EOS 2,
+    # right-padded with 1. Answer 5 duplicates answer 3 (exact tie).
+    arng = np.random.default_rng(11)
+    a, la = 24, 4
+    answer_ids = np.full((a, la), 1, np.int64)
+    answer_mask = np.zeros((a, la), np.int64)
+    for i in range(a):
+        ln = int(arng.integers(1, la))  # tokens before EOS: 1..3
+        toks = arng.integers(4, 900, ln)
+        answer_ids[i, :ln] = toks
+        answer_ids[i, ln] = 2
+        answer_mask[i, :ln + 1] = 1
+    answer_ids[5], answer_mask[5] = answer_ids[3], answer_mask[3]
+
+    want = _reference_rank(ref_dec, enc_t, torch.tensor(start_ids),
+                           torch.tensor(attn), torch.tensor(answer_ids),
+                           torch.tensor(answer_mask), k_test)
+
+    got = np.asarray(rank_answers(
+        model, variables, jnp.asarray(enc_t.numpy()),
+        jnp.asarray(start_ids.astype(np.int32)),
+        jnp.asarray(attn.astype(np.int32)),
+        jnp.asarray(answer_ids.astype(np.int32)),
+        jnp.asarray(answer_mask.astype(np.int32)), k_test=k_test))
+
+    # a tied duplicate may legitimately resolve to either id — compare the
+    # selected ANSWER CONTENT, which is unique
+    np.testing.assert_array_equal(answer_ids[got], answer_ids[want],
+                                  err_msg=f"ours={got} ref={want}")
+
+
+def test_encoder_obj_detection_matches_reference(rng, monkeypatch):
+    """Closes the one modality hole in encoder parity: obj_detection's
+    instance embedding draws `random.randint` slots per forward in the
+    reference (vit.py:141-148), so both sides are pinned to one recorded
+    slot sequence — the reference via a monkeypatched random.randint popping
+    slot[id] for each batch-unique instance id (its iteration order:
+    torch.unique ascending), ours via draw_instance_slots. Full 6-expert
+    768-wide encoder, the complete Prismer-BASE modality set."""
+    import random as pyrandom
+
+    RefViT, RefDecoder = _reference_modules()
+    experts_yaml = ["depth", "normal", "edge", "seg_coco", "ocr_detection",
+                    "obj_detection"]
+    cfg = build_prismer_config({
+        "experts": experts_yaml, "image_resolution": 224,
+        "prismer_model": "prismer_base", "freeze": "none",
+        "dtype": "float32"})
+
+    torch.manual_seed(5)
+    ref_vit = RefViT(input_resolution=224, patch_size=16, width=768,
+                     layers=12, heads=12,
+                     experts=dict(cfg.vision.experts)).eval()
+    for m in ref_vit.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.9, 1.1)
+
+    entry = json.load(open(f"{REFERENCE}/configs/prismer.json"))["prismer_base"]
+    from transformers import RobertaConfig
+    ref_dec = RefDecoder(RobertaConfig.from_dict(entry["roberta_model"])).eval()
+    tree = cv.convert_prismer_checkpoint(_composed_sd(ref_vit, ref_dec), cfg)
+    model = Prismer(cfg)
+    variables = _our_variables(model, cfg, tree, np.random.default_rng(5))
+
+    torch_x, jax_x = _paired_inputs(cfg, rng)
+    # instance-id map with several ids incl. non-contiguous values
+    inst = rng.integers(0, 6, (2, 1, 224, 224)).astype(np.int64)
+    inst[1] += 3  # ids {3..8} on sample 1 -> batch-unique set {0..8}
+    torch_x["obj_detection"] = {"label": torch_x["obj_detection"],
+                                "instance": torch.tensor(inst)}
+    jax_x["obj_detection"] = {"label": jax_x["obj_detection"],
+                              "instance": jnp.asarray(
+                                  inst.transpose(0, 2, 3, 1).astype(np.int32))}
+
+    # one recorded slot table: slot[id] for every possible id
+    slots = np.random.default_rng(77).integers(
+        0, cfg.vision.num_instance_slots,
+        cfg.vision.max_instances).astype(np.int32)
+    from prismer_tpu.models import vit as our_vit
+    monkeypatch.setattr(our_vit, "draw_instance_slots",
+                        lambda key, mi, ns: jnp.asarray(slots))
+    queue = [int(slots[i]) for i in sorted(np.unique(inst))]
+
+    def scripted_randint(lo, hi):
+        assert (lo, hi) == (0, 127)
+        return queue.pop(0)
+
+    monkeypatch.setattr(pyrandom, "randint", scripted_randint)
+
+    with torch.no_grad():
+        want = ref_vit(torch_x).permute(1, 0, 2).numpy()
+    assert not queue, "reference drew fewer slots than batch-unique ids"
+    got = np.asarray(model.apply(variables, jax_x, method=Prismer.encode))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
 
 
 def test_encoder_nondivisible_patch_geometry_matches_reference(rng):
