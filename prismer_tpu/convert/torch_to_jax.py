@@ -304,6 +304,30 @@ def convert_prismer_checkpoint(sd: Dict[str, Any], cfg: PrismerConfig
     }
 
 
+def uncovered_leaves(init_tree: Dict[str, Any], loaded: Dict[str, Any],
+                     path: str = "") -> Tuple[int, list]:
+    """(total_leaf_count, paths of init leaves NOT overlaid by `loaded`).
+
+    Companion to merge_params' lenient key semantics: the merge itself stays
+    strict=False (the reference loads the core model that way), but expert
+    weight loading uses this report to FAIL LOUDLY when a real checkpoint's
+    key layout drifts — a silent partial load would leave random weights in
+    a frozen expert with no signal (experts/model_bank.py)."""
+    total, missing = 0, []
+    for k, v in init_tree.items():
+        sub = loaded.get(k) if isinstance(loaded, dict) else None
+        if isinstance(v, dict):
+            t, m = uncovered_leaves(v, sub if isinstance(sub, dict) else {},
+                                    f"{path}/{k}")
+            total += t
+            missing += m
+        else:
+            total += 1
+            if sub is None:
+                missing.append(f"{path}/{k}")
+    return total, missing
+
+
 def merge_params(init_tree: Dict[str, Any], loaded: Dict[str, Any],
                  path: str = "") -> Dict[str, Any]:
     """Overlay `loaded` onto `init_tree` (strict=False load semantics):

@@ -146,7 +146,8 @@ def load_expert_model(task: str, image_size: int = 480
         variables = _init_unidet(model, image_size)
         sd = _load_torch_ckpt(task)
         if sd is not None:
-            variables = _merge_converted(variables, convert_unidet(sd))
+            variables = _merge_converted(variables, convert_unidet(sd),
+                                         task)
         mean = np.array([123.68, 116.779, 103.939], np.float32) / 255.0
         std = np.array([58.393, 57.12, 57.375], np.float32) / 255.0
         return model, variables, _resize_norm(image_size, mean, std)
@@ -196,14 +197,37 @@ def _init_or_convert(model, converter, task: str, input_shape) -> Dict[str, Any]
     variables = _init_fresh(model, input_shape)
     if sd is None:
         return variables
-    return _merge_converted(variables, converter(sd))
+    return _merge_converted(variables, converter(sd), task)
 
 
-def _merge_converted(variables: Dict[str, Any],
-                     tree: Dict[str, Any]) -> Dict[str, Any]:
+# fraction of param leaves a converted expert checkpoint may leave at their
+# random init before the load is considered a key-layout drift and refused
+_MAX_UNCOVERED_FRACTION = 0.01
+
+
+def _merge_converted(variables: Dict[str, Any], tree: Dict[str, Any],
+                     task: str = "expert") -> Dict[str, Any]:
     """Overlay a converted torch tree onto freshly-initialized variables
-    (strict on shape mismatch, lenient on keys the converter doesn't cover)."""
-    from prismer_tpu.convert.torch_to_jax import merge_params
+    (strict on shape mismatch, lenient on keys the converter doesn't cover)
+    — but FAIL LOUDLY when the checkpoint covers too few param leaves: these
+    experts are frozen, so a silently partial load (e.g. renamed keys in a
+    newly released file) would generate noise labels with no other signal."""
+    from prismer_tpu.convert.torch_to_jax import merge_params, uncovered_leaves
+    total, missing = uncovered_leaves(variables["params"], tree["params"])
+    if len(missing) > _MAX_UNCOVERED_FRACTION * total:
+        shown = "\n  ".join(missing[:25])
+        more = f"\n  ... and {len(missing) - 25} more" if len(missing) > 25 else ""
+        raise ValueError(
+            f"[prismer_tpu] expert '{task}': converted checkpoint covers only "
+            f"{total - len(missing)}/{total} param leaves — the file's key "
+            f"layout does not match this converter (drifted release? wrong "
+            f"file?). Refusing a silent partial load. Uncovered leaves:\n  "
+            f"{shown}{more}")
+    if missing:
+        import warnings
+        warnings.warn(
+            f"[prismer_tpu] expert '{task}': {len(missing)}/{total} param "
+            f"leaves kept random init: {missing}", stacklevel=2)
     out = {"params": merge_params(variables["params"], tree["params"])}
     if "batch_stats" in variables:
         stats = variables["batch_stats"]

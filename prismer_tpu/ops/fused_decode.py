@@ -270,26 +270,29 @@ def _kernel(hidden0_ref, w_ref, b_ref, selfk_ref, selfv_ref, bias_tn_ref,
         o = dense(att.astype(dtype), 3 * d, 4 * d, 3 * d)
         h_s[:] = layer_norm(o, x, 4 * d)
 
-        # cross queries: plain (N, D) activations in a row-padded scratch;
-        # each sample phase assembles its own (H*QP, Dh) block via aligned
-        # dynamic-slice reads. (A (N, Dh)->(B, beams, Dh) vector reshape —
-        # sublane regrouping — is an unsupported Mosaic shape cast.)
+        # cross queries, re-laid out so sample s occupies rows
+        # [s*QP, s*QP + beams) of a (B*QP, D) scratch — every per-sample
+        # dynamic slice then starts at a provable multiple of 8 (Mosaic
+        # rejects 3*s starts) and padding rows are EXACT zeros. The
+        # expansion is one 0/1-selector matmul (exact copies: one term per
+        # output element), not a vector reshape (sublane regrouping is an
+        # unsupported Mosaic shape cast).
         @pl.when(i < nlc)
         def _():
-            qc_s[:n, :] = dense(h_s[:], 4 * d, 5 * d, 6 * d)
-
-            @pl.when(i == 0)
-            def _():  # padding rows must be finite (NaN-hygiene)
-                qc_s[n:, :] = jnp.zeros((QP, d), qc_s.dtype)
+            qc = dense(h_s[:], 4 * d, 5 * d, 6 * d)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (batch * QP, n), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (batch * QP, n), 1)
+            expand = ((cols == (rows // QP) * beams + rows % QP)
+                      & (rows % QP < beams)).astype(dtype)
+            qc_s[:] = matmul(expand, qc).astype(dtype)
 
     # ---------------- cross phases: one sample per grid step --------------
     @pl.when((i < nlc) & (j >= 1) & (j <= batch))
     def _cross():
         s_idx = j - 1
-        row0 = s_idx * beams
-        # Q_wide rows [h*QP, (h+1)*QP): QP aligned rows starting at the
-        # sample's first beam row (rows beyond `beams` hold the neighbour
-        # sample's values — finite garbage, never extracted)
+        row0 = pl.multiple_of(s_idx * QP, QP)
+        # Q_wide rows [h*QP, (h+1)*QP): the sample's QP-row strided block,
+        # per-head column slices (padding rows are exact zeros)
         q = jnp.concatenate(
             [qc_s[pl.ds(row0, QP), h * dh:(h + 1) * dh]
              for h in range(heads)], axis=0)                # (H*QP, Dh)
@@ -307,17 +310,24 @@ def _kernel(hidden0_ref, w_ref, b_ref, selfk_ref, selfv_ref, bias_tn_ref,
         pn = (p / jnp.sum(p, axis=1, keepdims=True)).astype(dtype)
         mm = matmul(pn, crossv_ref[0, 0])                   # (H*QP, H*Dh) f32
         o = mm.astype(dtype)
-        # scatter the diagonal (beams, Dh) blocks into sample rows
+        # scatter the diagonal (QP, Dh) blocks into the sample's strided
+        # rows — full aligned 8-row stores; rows >= beams land in padding
         for h in range(heads):
-            co_s[pl.ds(row0, beams), h * dh:(h + 1) * dh] = (
-                o[h * QP:h * QP + beams, h * dh:(h + 1) * dh])
+            co_s[pl.ds(row0, QP), h * dh:(h + 1) * dh] = (
+                o[h * QP:(h + 1) * QP, h * dh:(h + 1) * dh])
 
     # ---------------- tail phase: cross-out + adaptor + MLP ---------------
     @pl.when(j == batch + 1)
     def _tail():
         @pl.when(i < nlc)
         def _():
-            outc = co_s[:n, :]                              # (N, D)
+            # compact the strided (B*QP, D) cross outputs back to (N, D)
+            # with the inverse 0/1 selector (exact copies)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (n, batch * QP), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (n, batch * QP), 1)
+            compact = (cols == (rows // beams) * QP
+                       + rows % beams).astype(dtype)
+            outc = matmul(compact, co_s[:]).astype(dtype)   # (N, D)
             x = h_s[:]
             o = dense(outc, 5 * d, 6 * d, 7 * d)
             x = layer_norm(o, x, 8 * d)
@@ -435,10 +445,8 @@ def fused_decode_step(hidden0: jax.Array, w_all: jax.Array, b_all: jax.Array,
         ],
         scratch_shapes=[
             pltpu.VMEM((n, d), dtype),           # hidden
-            pltpu.VMEM((n + QP, d), dtype),      # cross-q (row-padded so
-            pltpu.VMEM((n + QP, d), dtype),      # cross-out aligned QP-row
-                                                 # dynamic slices stay
-                                                 # in-bounds)
+            pltpu.VMEM((b * QP, d), dtype),      # cross-q, sample-strided
+            pltpu.VMEM((b * QP, d), dtype),      # cross-out, sample-strided
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),

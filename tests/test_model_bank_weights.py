@@ -135,3 +135,34 @@ def test_charnet_pth_roundtrip(weights_dir):
     np.testing.assert_array_equal(
         np.asarray(loaded["batch_stats"]["backbone"]["pre_bn"]["mean"]),
         sd["backbone.pre.1.running_mean"])
+
+
+def test_partial_conversion_coverage_gate():
+    """A converted tree covering too few param leaves must be refused (a
+    silently partial load of a frozen expert would generate noise labels
+    with no signal); near-full coverage proceeds with a warning naming the
+    uncovered leaves."""
+    leaf = lambda: np.zeros((2, 2), np.float32)
+    params = {f"layer_{i}": {"kernel": leaf(), "bias": leaf()}
+              for i in range(60)}
+    variables = {"params": params}
+
+    partial = {"params": {"layer_0": {"kernel": leaf()}}}
+    with pytest.raises(ValueError, match="covers only 1/120 param leaves"):
+        model_bank._merge_converted(variables, partial, "edge")
+
+    almost = {"params": {k: dict(v) for k, v in params.items()}}
+    del almost["params"]["layer_7"]["bias"]  # 119/120 > 99% covered
+    with pytest.warns(UserWarning, match="layer_7/bias"):
+        out = model_bank._merge_converted(variables, almost, "edge")
+    assert set(out["params"]) == set(params)
+
+
+def test_drifted_checkpoint_fails_loudly(weights_dir):
+    """A real checkpoint file whose key layout drifted (here: every key
+    re-prefixed, as a repackaged release might) must raise, not silently
+    load random weights."""
+    sd = {f"module2.block_{i}.weight": torch.zeros(2, 2) for i in range(4)}
+    torch.save(sd, os.path.join(weights_dir, model_bank.WEIGHTS["edge"]))
+    with pytest.raises((KeyError, ValueError)):
+        model_bank.load_expert_model("edge", image_size=64)
