@@ -21,6 +21,7 @@ PIL/numpy; the parent keeps the device runtime.
 from __future__ import annotations
 
 import multiprocessing
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -64,7 +65,7 @@ class DataLoader:
                  shard_id: int = 0, num_shards: int = 1,
                  collate_fn: Optional[Callable] = None,
                  prefetch: int = 4, drop_last: Optional[bool] = None,
-                 worker_type: str = "thread"):
+                 worker_type: str = "auto"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.train = train
@@ -75,7 +76,26 @@ class DataLoader:
         self.collate = collate_fn or default_collate
         self.prefetch = prefetch
         self.drop_last = train if drop_last is None else drop_last
-        assert worker_type in ("thread", "process"), worker_type
+        assert worker_type in ("thread", "process", "auto"), worker_type
+        if worker_type == "auto":
+            # the record pipeline (PIL decode + RandAugment + tensorize) is
+            # largely GIL-bound python, so a thread pool cannot exceed ~1
+            # core of it; the fork pool can use every core. On a 1-core
+            # host forking only adds overhead (measured: 14.8 thread vs
+            # 13.8 process rec/s, tools/bench_input_pipeline.py — numbers
+            # in README), so auto picks processes exactly when >1 core is
+            # available. PRISMER_WORKER_TYPE=thread|process overrides.
+            env = os.environ.get("PRISMER_WORKER_TYPE")
+            if env:
+                worker_type = env
+            else:
+                try:
+                    cores = len(os.sched_getaffinity(0))
+                except AttributeError:
+                    cores = os.cpu_count() or 1
+                worker_type = ("process" if self.num_workers >= 2
+                               and cores >= 2 and hasattr(os, "fork")
+                               else "thread")
         self.worker_type = worker_type
         self.epoch = 0
 

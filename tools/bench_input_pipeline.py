@@ -143,23 +143,28 @@ def main():
                     "transform_augment": 1e3 * t_tf / reps,
                     "tensorize_record": 1e3 * t_rec / reps}
 
-        # end-to-end loader throughput (threaded prefetch, all cores)
-        loader = create_loader(ds, batch_size=args.batch,
-                               num_workers=max(2, cpus), train=True)
-        n_rec = 0
-        t0 = time.perf_counter()
-        for batch in loader:
-            n_rec += batch["experts"]["rgb"].shape[0]
-        dt = time.perf_counter() - t0
-        rps = n_rec / dt
+        # end-to-end loader throughput, thread vs forked-process workers
+        # (the driver-level question: can the default loader FEED the chip?)
+        rps = {}
+        for wt in ("thread", "process"):
+            loader = create_loader(ds, batch_size=args.batch,
+                                   num_workers=max(2, cpus), train=True,
+                                   worker_type=wt)
+            n_rec = 0
+            t0 = time.perf_counter()
+            for batch in loader:
+                n_rec += batch["experts"]["rgb"].shape[0]
+            rps[wt] = n_rec / (time.perf_counter() - t0)
 
+    best = max(rps.values())
     out = {
-        "records_per_sec": round(rps, 2),
-        "records_per_sec_per_core": round(rps / cpus, 2),
+        "records_per_sec": {k: round(v, 2) for k, v in rps.items()},
+        "records_per_sec_per_core": round(best / cpus, 2),
         "cpus": cpus,
         "stage_ms": {k: round(v, 2) for k, v in stage_ms.items()},
         "model_appetite_img_s": args.appetite,
-        "cores_needed": int(np.ceil(args.appetite / max(rps / cpus, 1e-9))),
+        "feeds_chip": best >= args.appetite,
+        "cores_needed": int(np.ceil(args.appetite / max(best / cpus, 1e-9))),
     }
     print(json.dumps(out))
 
