@@ -48,7 +48,8 @@ import time
 import numpy as np
 
 
-def make_model(model_scale: str, quick: bool, experts: str = "full"):
+def make_model(model_scale: str, quick: bool, experts: str = "full",
+               resolution: int = 480, freeze: str = "freeze_vision"):
     from prismer_tpu.config import build_prismer_config, tiny_test_config
     from prismer_tpu.models.prismer import Prismer
 
@@ -64,9 +65,9 @@ def make_model(model_scale: str, quick: bool, experts: str = "full"):
             "experts": "none" if experts == "none" else
                        ["depth", "normal", "seg_coco", "edge",
                         "obj_detection", "ocr_detection"],
-            "image_resolution": 480,
+            "image_resolution": resolution,
             "prismer_model": model_scale,
-            "freeze": "freeze_vision",
+            "freeze": freeze,
             "dtype": "bfloat16",
         }
     cfg = build_prismer_config(task_cfg)
@@ -316,11 +317,12 @@ def train_throughput(args):
 
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/prismer_tpu_jax_cache")
-    model, cfg = make_model(args.model, args.quick, args.experts)
+    model, cfg = make_model(args.model, args.quick, args.experts,
+                            resolution=args.resolution, freeze=args.freeze)
     variables = init_variables(model, cfg, 1)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    mode = "none" if args.quick else "freeze_vision"
+    mode = "none" if args.quick else args.freeze
     labels = freeze_labels(params, mode) if mode != "none" else None
     tx = make_optimizer(optax.constant_schedule(1e-5), 0.05, params, mode)
     state = TrainState.create(params=params, tx=tx,
@@ -380,13 +382,15 @@ def train_throughput(args):
             best = (ips, b, t_step)
 
     print(json.dumps({
-        "metric": f"{args.metric_model}_caption_freeze_vision_train_images_per_sec_per_chip",
+        "metric": (f"{args.metric_model}_caption_{mode}_train_"
+                   f"images_per_sec_per_chip"),
         "value": round(best[0], 2),
         "unit": "images/sec/chip",
         "vs_baseline": None,
         "batch": best[1],
         "step_ms": round(best[2] * 1000, 1),
         "sweep": sweep,
+        "resolution": cfg.vision.image_resolution,
         "relay_overhead_ms": round(overhead * 1000, 2),
     }), flush=True)
 
@@ -403,6 +407,15 @@ def main():
     ap.add_argument("--model", default="prismer_base")
     ap.add_argument("--experts", default="full", choices=["full", "none"],
                     help="'none' benches the PrismerZ family (RGB-only)")
+    ap.add_argument("--freeze", default="freeze_vision",
+                    choices=["freeze_vision", "freeze_lang_vision", "none"],
+                    help="--task train: trainable-param partition "
+                         "(freeze_lang_vision = the pretrain config; the "
+                         "three modes hit different backward graphs incl. "
+                         "the Pallas flash backward)")
+    ap.add_argument("--resolution", type=int, default=480,
+                    help="--task train: image resolution (pretrain runs 224, "
+                         "configs/pretrain.yaml)")
     ap.add_argument("--task", default="caption",
                     choices=["caption", "vqa", "train"])
     ap.add_argument("--quick", action="store_true")

@@ -60,19 +60,22 @@ def save_rel_path(img_path: str) -> Tuple[str, str]:
 
 
 def run_depth(args):
-    apply_fn, variables, preprocess = load_expert_model("depth")
+    apply_fn, variables, preprocess = load_expert_model(
+        "depth", image_size=args.image_size)
     _run_dense(args, "depth", apply_fn, variables, preprocess,
                postprocess=_depth_post)
 
 
 def run_normal(args):
-    apply_fn, variables, preprocess = load_expert_model("normal")
+    apply_fn, variables, preprocess = load_expert_model(
+        "normal", image_size=args.image_size)
     _run_dense(args, "normal", apply_fn, variables, preprocess,
                postprocess=_normal_post)
 
 
 def run_edge(args):
-    apply_fn, variables, preprocess = load_expert_model("edge")
+    apply_fn, variables, preprocess = load_expert_model(
+        "edge", image_size=args.image_size)
     _run_dense(args, "edge", apply_fn, variables, preprocess,
                postprocess=_edge_post)
 
@@ -133,7 +136,8 @@ def _run_dense(args, task, apply_fn, variables, preprocess, postprocess):
 def run_segmentation(args, task):
     import jax.numpy as jnp
 
-    apply_fn, variables, preprocess = load_expert_model(task)
+    apply_fn, variables, preprocess = load_expert_model(
+        task, image_size=args.image_size)
     save_root = os.path.join(args.save_path, task)
     files = list_images(args.data_path)[args.shard_id::args.num_shards]
     bs = args.batch_size
@@ -166,7 +170,8 @@ def run_objdet(args):
     from prismer_tpu.experts.obj_detection.rcnn import detect_single
     from prismer_tpu.experts.objdet_postprocess import occlusion_ordered_mask
 
-    model, variables, preprocess = load_expert_model("obj_detection")
+    model, variables, preprocess = load_expert_model(
+        "obj_detection", image_size=args.image_size)
     save_root = os.path.join(args.save_path, "obj_detection")
     depth_root = os.path.join(args.save_path, "depth")
     files = list_images(args.data_path)[args.shard_id::args.num_shards]
@@ -212,7 +217,8 @@ def run_ocr(args):
     from prismer_tpu.experts.ocr_detection.postprocess import \
         OrientedTextPostProcessing
 
-    apply_fn, variables, preprocess = load_expert_model("ocr_detection")
+    apply_fn, variables, preprocess = load_expert_model(
+        "ocr_detection", image_size=args.image_size)
     post = OrientedTextPostProcessing()
     tables = get_feature_tables()
     clip_ctx = load_clip_text()
@@ -292,6 +298,10 @@ def main():
     ap.add_argument("--data_path", default="helpers")
     ap.add_argument("--save_path", default="helpers/labels")
     ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--image_size", type=int, default=480,
+                    help="expert input resolution (labels are "
+                         "resized back to the original image "
+                         "size regardless)")
     ap.add_argument("--shard_id", type=int, default=0)
     ap.add_argument("--num_shards", type=int, default=1)
     args = ap.parse_args()

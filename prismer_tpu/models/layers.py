@@ -267,6 +267,15 @@ def merge_heads(x: jax.Array) -> jax.Array:
     return x.transpose(0, 2, 1, 3).reshape(b, l, h * dh)
 
 
+def use_packed_qkv() -> bool:
+    """Self-attention q/k/v as ONE (D, 3D) matmul (encoder lever): the param
+    tree keeps the converter-compatible separate q/k/v kernels; the packed
+    weight is a per-call concat (bytes negligible next to the matmul).
+    Off by default until the end-to-end TPU A/B shows a win."""
+    import os
+    return os.environ.get("PRISMER_PACKED_QKV") == "1"
+
+
 class MultiHeadAttention(nn.Module):
     """Generic MHA with separate q/k/v/out projections (all with bias).
 
@@ -282,10 +291,23 @@ class MultiHeadAttention(nn.Module):
     def __call__(self, x: jax.Array, kv: Optional[jax.Array] = None,
                  mask_bias: Optional[jax.Array] = None) -> jax.Array:
         dim = x.shape[-1]
+        self_attn = kv is None
         kv = x if kv is None else kv
-        q = nn.Dense(dim, dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(dim, dtype=self.dtype, name="k_proj")(kv)
-        v = nn.Dense(dim, dtype=self.dtype, name="v_proj")(kv)
+        dq = nn.Dense(dim, dtype=self.dtype, name="q_proj")
+        dk = nn.Dense(dim, dtype=self.dtype, name="k_proj")
+        dv = nn.Dense(dim, dtype=self.dtype, name="v_proj")
+        if self_attn and use_packed_qkv() and not self.is_initializing():
+            names = ("q_proj", "k_proj", "v_proj")
+            ps = [self.get_variable("params", nm) for nm in names]
+            w = jnp.concatenate(
+                [jnp.asarray(p["kernel"], self.dtype) for p in ps], axis=1)
+            b = jnp.concatenate(
+                [jnp.asarray(p["bias"], self.dtype) for p in ps])
+            qkv = jnp.dot(x, w) + b
+            q, k, v = (qkv[..., :dim], qkv[..., dim:2 * dim],
+                       qkv[..., 2 * dim:])
+        else:
+            q, k, v = dq(x), dk(kv), dv(kv)
         q, k, v = (split_heads(t, self.num_heads) for t in (q, k, v))
         if mask_bias is None:
             out = attention(q, k, v)  # flash path on TPU

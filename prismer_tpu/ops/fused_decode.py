@@ -270,21 +270,29 @@ def _kernel(hidden0_ref, w_ref, b_ref, selfk_ref, selfv_ref, bias_tn_ref,
         o = dense(att.astype(dtype), 3 * d, 4 * d, 3 * d)
         h_s[:] = layer_norm(o, x, 4 * d)
 
-        # cross queries, re-laid out so sample s occupies rows
-        # [s*QP, s*QP + beams) of a (B*QP, D) scratch — every per-sample
-        # dynamic slice then starts at a provable multiple of 8 (Mosaic
-        # rejects 3*s starts) and padding rows are EXACT zeros. The
-        # expansion is one 0/1-selector matmul (exact copies: one term per
-        # output element), not a vector reshape (sublane regrouping is an
-        # unsupported Mosaic shape cast).
+        # cross queries, re-laid out for Mosaic-clean per-sample access:
+        #   rows:  sample s occupies [s*QP, s*QP + beams) — dynamic slices
+        #          start at provable multiples of 8 (3*s starts are
+        #          rejected); padding rows are EXACT zeros
+        #   lanes: head h occupies [h*128, h*128 + Dh) — later per-head
+        #          slices are 128-aligned (64-offset lane slices produce
+        #          offset-carrying vectors tpu.concatenate cannot take)
+        # Both re-layouts are 0/1-selector matmuls (exact copies: one term
+        # per output element); vector reshapes (sublane regrouping) are
+        # unsupported Mosaic shape casts.
         @pl.when(i < nlc)
         def _():
             qc = dense(h_s[:], 4 * d, 5 * d, 6 * d)
+            r = jax.lax.broadcasted_iota(jnp.int32, (d, heads * 128), 0)
+            c = jax.lax.broadcasted_iota(jnp.int32, (d, heads * 128), 1)
+            colpad = ((c // 128 == r // dh)
+                      & (c % 128 == r % dh)).astype(dtype)
             rows = jax.lax.broadcasted_iota(jnp.int32, (batch * QP, n), 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, (batch * QP, n), 1)
             expand = ((cols == (rows // QP) * beams + rows % QP)
                       & (rows % QP < beams)).astype(dtype)
-            qc_s[:] = matmul(expand, qc).astype(dtype)
+            qp_pad = matmul(qc, colpad).astype(dtype)       # (N, H*128)
+            qc_s[:] = matmul(expand, qp_pad).astype(dtype)
 
     # ---------------- cross phases: one sample per grid step --------------
     @pl.when((i < nlc) & (j >= 1) & (j <= batch))
@@ -292,9 +300,9 @@ def _kernel(hidden0_ref, w_ref, b_ref, selfk_ref, selfv_ref, bias_tn_ref,
         s_idx = j - 1
         row0 = pl.multiple_of(s_idx * QP, QP)
         # Q_wide rows [h*QP, (h+1)*QP): the sample's QP-row strided block,
-        # per-head column slices (padding rows are exact zeros)
+        # per-head 128-ALIGNED column slices (padding rows are exact zeros)
         q = jnp.concatenate(
-            [qc_s[pl.ds(row0, QP), h * dh:(h + 1) * dh]
+            [qc_s[pl.ds(row0, QP), h * 128:h * 128 + dh]
              for h in range(heads)], axis=0)                # (H*QP, Dh)
         kd = crossk_ref[0, 0]                               # (Dh, H*Lp)
         s = matmul(q, kd) * scale                           # (H*QP, H*Lp) f32
@@ -309,12 +317,14 @@ def _kernel(hidden0_ref, w_ref, b_ref, selfk_ref, selfv_ref, bias_tn_ref,
         p = jnp.exp(sd - m)
         pn = (p / jnp.sum(p, axis=1, keepdims=True)).astype(dtype)
         mm = matmul(pn, crossv_ref[0, 0])                   # (H*QP, H*Dh) f32
-        o = mm.astype(dtype)
-        # scatter the diagonal (QP, Dh) blocks into the sample's strided
-        # rows — full aligned 8-row stores; rows >= beams land in padding
-        for h in range(heads):
-            co_s[pl.ds(row0, QP), h * dh:(h + 1) * dh] = (
-                o[h * QP:(h + 1) * QP, h * dh:(h + 1) * dh])
+        # fold the block diagonal into one full-width (QP, D) row group:
+        # sublane slices (8-aligned) + a lane-blocked select chain — no
+        # lane-offset slices, then one aligned full-width store
+        colb = jax.lax.broadcasted_iota(jnp.int32, (QP, d), 1) // dh
+        out_s = mm[0:QP, :]
+        for h in range(1, heads):
+            out_s = jnp.where(colb == h, mm[h * QP:(h + 1) * QP, :], out_s)
+        co_s[pl.ds(row0, QP), :] = out_s.astype(dtype)
 
     # ---------------- tail phase: cross-out + adaptor + MLP ---------------
     @pl.when(j == batch + 1)
@@ -444,9 +454,10 @@ def fused_decode_step(hidden0: jax.Array, w_all: jax.Array, b_all: jax.Array,
             jax.ShapeDtypeStruct((nl, n, d), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n, d), dtype),           # hidden
-            pltpu.VMEM((b * QP, d), dtype),      # cross-q, sample-strided
-            pltpu.VMEM((b * QP, d), dtype),      # cross-out, sample-strided
+            pltpu.VMEM((n, d), dtype),              # hidden
+            pltpu.VMEM((b * QP, heads * 128), dtype),  # cross-q, strided +
+                                                       # lane-padded
+            pltpu.VMEM((b * QP, d), dtype),         # cross-out, strided
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),

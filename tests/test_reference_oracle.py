@@ -280,6 +280,22 @@ def test_generate_vqa_settings_match_hf(seed, eos_boost, rng):
                       length_penalty=-1.0)
 
 
+def test_generate_full_width_matches_hf(composed, rng):
+    """One BASE-width generate-parity seed (the GEN suite below runs the
+    full beam logic at reduced width): pins width-dependent tie-breaking
+    and fp32 accumulation-order effects a 128-d model cannot surface.
+    Caption settings, batch 2, beam 3."""
+    ref_vit, ref_dec, model, cfg, variables = composed
+    torch_x, jax_x = _paired_inputs(cfg, rng)
+    with torch.no_grad():
+        enc_t = ref_vit(torch_x).permute(1, 0, 2)
+    prompt = np.array([[0, 250, 35], [0, 99, 35]], np.int64)
+    mask = np.ones_like(prompt)
+    _compare_generate(ref_dec, model, variables, prompt, mask,
+                      enc_t.numpy(), max_length=20, min_length=8,
+                      length_penalty=1.0)
+
+
 # ---------------------------------------------------------------------------
 # rank-inference parity vs the reference's own two-pass rank code
 # ---------------------------------------------------------------------------
