@@ -31,6 +31,11 @@ include ~1/iters of the encoder):
 The difference base - variant bounds that component's share of decode time
 (prefill is mildly affected too; it is ~7% of the total).
 
+NOTE: the ablation monkeypatches target the XLA per-op decode path. When the
+fused whole-step kernel is active (PRISMER_DECODE_FUSED, models/roberta.py),
+nocross/noself/nolayers have no effect on the decode loop — run this tool
+with PRISMER_DECODE_FUSED=off.
+
 Usage: python tools/profile_decode_parts.py [--batch 32] [--variants ...]
 """
 
