@@ -34,6 +34,11 @@ def main():
                     choices=["both", "fused", "xla"])
     ap.add_argument("--check", action=argparse.BooleanOptionalAction,
                     default=True)
+    ap.add_argument("--slope", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="also time a steps//4 program and report the "
+                         "per-decode-step slope (isolates the step cost "
+                         "from prefill/packing/LM-head fixed cost)")
     args = ap.parse_args()
 
     import jax
@@ -114,6 +119,7 @@ def main():
 
     results = {}
     lasts = {}
+    slopes = {}
     modes = ["xla", "fused"] if args.mode == "both" else [args.mode]
     for mode in modes:
         program = make_program(mode)
@@ -137,8 +143,30 @@ def main():
         print(f"{mode}: {min(times) * 1000:.2f} ms "
               f"({args.steps} steps, prefill included)", flush=True)
 
+        if args.slope:
+            short = max(1, args.steps // 4)
+            saved = args.steps
+            args.steps = short
+            prog_s = make_program(mode)
+            t0 = time.perf_counter()
+            timed_value(lambda v, s: prog_s(v, s)[0], variables, jnp.int32(0))
+            print(f"# {mode} short({short}): compile+first "
+                  f"{time.perf_counter() - t0:.1f}s", file=sys.stderr,
+                  flush=True)
+            ts = min(timed_value(lambda v, s: prog_s(v, s)[0], variables,
+                                 jnp.int32(r + 31))[0]
+                     for r in range(args.repeats))
+            args.steps = saved
+            per_step = (results[mode] - ts) / (saved - short)
+            slopes[mode] = per_step
+            print(f"{mode}: {per_step * 1e3:.3f} ms/step (slope), "
+                  f"fixed {1e3 * (ts - short * per_step):.2f} ms", flush=True)
+
     if len(results) == 2:
         print(f"fused/xla: {results['fused'] / results['xla']:.3f}", flush=True)
+    if len(slopes) == 2:
+        print(f"fused/xla per-step: {slopes['fused'] / slopes['xla']:.3f}",
+              flush=True)
     if args.check and len(lasts) == 2:
         import numpy as np
         d = np.abs(np.asarray(lasts["fused"], np.float32)
