@@ -1,16 +1,31 @@
 """Fused whole-step decode kernel: all decoder layer bodies in ONE pallas_call.
 
-Why (measured, tools/profile_decode_parts.py): at Prismer-BASE b32 beam-3 the
-13 decode layer bodies cost 72.1 ms of the 194.7 ms pipeline against a ~30 ms
-HBM-traffic floor (cross-KV 1.14 GB + weights ~0.25 GB + self cache ~0.08 GB
-per step). The XLA per-op path streams the cross-KV at only ~352 GB/s and
-re-reads every weight through separate op boundaries; two previous per-op
-Pallas formulations LOST (ops/decode_attention.py documents both: per-head
-tiny dots are issue-latency-bound at ~87 GB/s). This kernel implements the
-only formulation the ablations did not falsify: one invocation per decode
-step, sequential grid over layers with the hidden state carried in VMEM
-scratch, so every byte of cross-KV, weights and self-cache is streamed
-exactly once per step and overlapped with compute.
+MEASURED AND ADOPTED (TPU default via models/roberta.py use_fused_decode).
+Same-session honest A/B at Prismer-BASE b32 beam-3 (2026-08-17,
+tools/profile_pipeline.py): decode-only 73.8 -> 69.4 ms, full pipeline
+195.0 -> 190.2 ms (+2.5% img/s). Decoder-only slope harness
+(tools/check_fused_decode_tpu.py --slope): 2.582 vs 2.786 ms/decode-step
+(-7%), +~5 ms one-off cache/weight packing in init_cache (amortized over
+the sequence; weight packing is loop-invariant and hoists in serving
+loops).
+
+Post-mortem of the r2 sizing (ops/decode_attention.py predicted ~40 ms
+winnable): the 72.1 ms "nolayers" ablation OVER-ATTRIBUTED the layer
+bodies — standalone, the XLA step bodies cost ~2.65 ms/step (~42 ms), with
+the rest of decode-only being top-k (~10 ms), beam bookkeeping + cache
+reorders, LM head and embeddings, which this kernel does not touch. Against
+the ~1.9 ms/step DMA floor (cross-KV 1.15 GB + weights 0.24 GB + self
+cache 0.08 GB at ~800 GB/s) the kernel runs at 2.58 ms/step — within ~25%
+of the floor; the XLA path's separate-op streaming reaches ~550 GB/s here,
+much better than the 352 GB/s its microbench showed inside the full
+pipeline.
+
+Why one invocation per step: the layers are sequentially dependent, so only
+a grid that carries the hidden state across layer phases in VMEM scratch
+can stream cross-KV + weights + self-cache exactly once per step while
+overlapping compute; two per-op Pallas formulations LOST before
+(ops/decode_attention.py: per-head tiny dots are issue-latency-bound at
+~87 GB/s).
 
 Reference path being replaced: the cache-less HF decode of
 model/modules/roberta.py:358-406 (the XLA cached path in
