@@ -211,3 +211,33 @@ def test_exact_top_k_matches_lax_top_k():
         v, i = exact_top_k(xj, kk)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
         np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+
+
+def test_exact_top_k_block_path_matches_lax_top_k():
+    """The wide-row two-stage block path must also be bit-identical to
+    lax.top_k, including cross-block ties, within-block ties, tied block
+    maxima, and values in the padding-adjacent tail."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from prismer_tpu.models.generation import exact_top_k
+
+    rng = np.random.default_rng(1)
+    w = 150795  # the b32 beam-candidate width (3 * 50265), not block-aligned
+    x = rng.standard_normal((4, w)).astype(np.float32)
+    m = x.max() + 1.0
+    x[0, 10] = x[0, 5000] = x[0, 149000] = m   # tie across three blocks
+    x[1, 2048] = x[1, 2049] = m                # tie within one block
+    x[2, :] = -1.0e7                           # all-tied dead row
+    x[3, w - 1] = m                            # max at the very last lane
+    xj = jnp.asarray(x)
+    for kk in (1, 6):
+        v_ref, i_ref = jax.lax.top_k(xj, kk)
+        v, i = exact_top_k(xj, kk)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    # small-block override exercises padding + many blocks on the same data
+    v, i = exact_top_k(xj[:, :5000], 4, block=512)
+    v_ref, i_ref = jax.lax.top_k(xj[:, :5000], 4)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
