@@ -270,8 +270,13 @@ def merge_heads(x: jax.Array) -> jax.Array:
 def use_packed_qkv() -> bool:
     """Self-attention q/k/v as ONE (D, 3D) matmul (encoder lever): the param
     tree keeps the converter-compatible separate q/k/v kernels; the packed
-    weight is a per-call concat (bytes negligible next to the matmul).
-    Off by default until the end-to-end TPU A/B shows a win."""
+    weight is a per-call concat.
+
+    MEASURED AND NOT ADOPTED (2026-08-17, same-session A/B,
+    tools/profile_pipeline.py --stages encode, Prismer-BASE b32 480px):
+    106.5 ms/iter unpacked vs 112.5 ms packed — the weight concat breaks
+    XLA's fusion/scheduling of the three projections and costs 5.6%.
+    Kept behind the env flag as the documented experiment."""
     import os
     return os.environ.get("PRISMER_PACKED_QKV") == "1"
 
