@@ -392,9 +392,13 @@ class RobertaCausalDecoder(nn.Module):
             [params[f"layers_{i}"] for i in range(c.num_hidden_layers)],
             params["output_layer"], c.hidden_size, c.intermediate_size,
             self.dtype)
+        d = c.hidden_size
+        # head/tail column split materialized once: BlockSpecs can only
+        # address block-aligned offsets, so the kernel takes two tensors
         return {"self_k_tn": self_k, "self_v_tn": self_v,
                 "cross_kd": jnp.stack(kds), "cross_vc": jnp.stack(vcs),
-                "w_all": w_all, "b_all": b_all}
+                "w_head": w_all[:, :, :5 * d], "w_tail": w_all[:, :, 5 * d:],
+                "b_all": b_all}
 
     def init_cache(self, input_ids: jax.Array, attention_mask: jax.Array,
                    encoder_hidden_states: jax.Array, max_len: int,
@@ -457,7 +461,7 @@ class RobertaCausalDecoder(nn.Module):
         previous per-layer slice + end-of-step jnp.stack re-materialized the
         whole 38 MB cache twice per step (the trace showed it as thousands
         of copy / update-slice fragments)."""
-        if "w_all" in cache:
+        if "w_head" in cache:
             return self._fused_decode_step(token_ids, index, position_ids,
                                            key_mask, cache, beams, cross_len)
         hidden = self.embeddings(token_ids[:, None], position_ids[:, None])
@@ -503,8 +507,9 @@ class RobertaCausalDecoder(nn.Module):
         excl = jnp.arange(t)[:, None] != index
         bias_tn = jnp.where((mask_t > 0) & excl, 0.0, NEG_INF)
         hidden_out, k_new, v_new = fused_decode_step(
-            hidden, cache["w_all"], cache["b_all"], cache["self_k_tn"],
-            cache["self_v_tn"], bias_tn.astype(jnp.float32),
+            hidden, cache["w_head"], cache["w_tail"], cache["b_all"],
+            cache["self_k_tn"], cache["self_v_tn"],
+            bias_tn.astype(jnp.float32),
             cache["cross_kd"], cache["cross_vc"],
             heads=c.num_attention_heads, beams=beams, valid_len=cross_len,
             eps=c.layer_norm_eps)

@@ -207,21 +207,79 @@ def _ln(x32, scale, bias, eps):
     return (x32 - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _kernel(hidden0_ref, w_ref, b_ref, selfk_ref, selfv_ref, bias_tn_ref,
-            crossk_ref, crossv_ref,
+def _kernel(hidden0_ref, wh_ref, wt_ref, b_ref, selfk_ref, selfv_ref,
+            bias_tn_ref, crossk_ref, crossv_ref,
             hidden_out_ref, knew_ref, vnew_ref,
-            h_s, qc_s, co_s, *,
-            heads: int, dh: int, nlc: int, batch: int, beams: int,
-            valid_len: int, eps: float, dtype):
+            h_s, qc_s, co_s, *extra, heads: int, dh: int, nlc: int,
+            batch: int, beams: int, valid_len: int, eps: float, dtype,
+            manual_dma: bool, nl: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
     d = h_s.shape[1]
-    t = selfk_ref.shape[1]
+    t = bias_tn_ref.shape[0]
     n = h_s.shape[0]
     lp = crossv_ref.shape[2]
     hp8 = heads * QP
     scale = 1.0 / np.sqrt(dh)
     f32 = jnp.float32
+
+    if manual_dma:
+        # wh/wt/selfk/selfv stay in HBM; the kernel streams each layer's
+        # blocks into double VMEM buffers with a WHOLE-LAYER fetch window
+        # (BlockSpec pipelining is one-grid-step lookahead, which leaves a
+        # ~25 MB burst only a single short phase to land — measured as a
+        # per-layer stall).
+        whb, wtb, skb, svb, sems = extra
+        sl = jax.lax.rem(i, 2)
+        fams = ((0, wh_ref, whb), (1, wt_ref, wtb),
+                (2, selfk_ref, skb), (3, selfv_ref, svb))
+
+        def layer_copy(fam, src, buf, layer, slot):
+            return pltpu.make_async_copy(src.at[layer], buf.at[slot],
+                                         sems.at[fam, slot])
+
+        @pl.when((i == 0) & (j == 0))
+        def _startup():
+            for fam, src, buf in fams:
+                cp = layer_copy(fam, src, buf, 0, 0)
+                cp.start()
+                cp.wait()
+
+        @pl.when((j == 1) & (i + 1 < nl))
+        def _issue_next():
+            nxt = i + 1
+            for fam, src, buf in fams:
+                layer_copy(fam, src, buf, nxt,
+                           jax.lax.rem(nxt, 2)).start()
+
+        @pl.when((j == 0) & (i > 0))
+        def _wait_current():
+            for fam, src, buf in fams:
+                layer_copy(fam, src, buf, i, sl).wait()
+
+        def w_head(lo, hi):
+            return whb[sl, :, lo:hi]
+
+        def w_tail(lo, hi):
+            return wtb[sl, :, lo:hi]
+
+        def self_k_block():
+            return skb[sl]
+
+        def self_v_block():
+            return svb[sl]
+    else:
+        def w_head(lo, hi):
+            return wh_ref[0, :, lo:hi]
+
+        def w_tail(lo, hi):
+            return wt_ref[0, :, lo:hi]
+
+        def self_k_block():
+            return selfk_ref[0]
+
+        def self_v_block():
+            return selfv_ref[0]
 
     def matmul(x, w):
         return jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
@@ -229,8 +287,14 @@ def _kernel(hidden0_ref, w_ref, b_ref, selfk_ref, selfv_ref, bias_tn_ref,
 
     def dense(x, w_lo, w_hi, b_lo):
         """x @ w_all[:, w_lo:w_hi] rounded to compute dtype + fp32-row bias
-        cast to compute dtype — the flax Dense(dtype=...) arithmetic."""
-        out = matmul(x, w_ref[0, :, w_lo:w_hi]).astype(dtype)
+        cast to compute dtype — the flax Dense(dtype=...) arithmetic.
+        Columns [0, 5D) live in the head-weight block, the rest in the
+        tail-weight block."""
+        if w_hi <= 5 * d:
+            w = w_head(w_lo, w_hi)
+        else:
+            w = w_tail(w_lo - 5 * d, w_hi - 5 * d)
+        out = matmul(x, w).astype(dtype)
         return out + b_ref[0, 0, b_lo:b_lo + (w_hi - w_lo)].astype(dtype)
 
     def layer_norm(x, res, s_lo):
@@ -266,7 +330,7 @@ def _kernel(hidden0_ref, w_ref, b_ref, selfk_ref, selfv_ref, bias_tn_ref,
         vnew_ref[0] = v_new
 
         g = head_group_matrix()
-        kc = selfk_ref[0]                                   # (T, N, D)
+        kc = self_k_block()                                 # (T, N, D)
         prod = (kc * q[None, :, :]).reshape(t * n, d)
         s = (matmul(prod, g) * scale).reshape(t, n, 128)
         s = s + bias_tn_ref[:][:, :, None]
@@ -280,7 +344,7 @@ def _kernel(hidden0_ref, w_ref, b_ref, selfk_ref, selfv_ref, bias_tn_ref,
         pn_cur = (p_cur / den).astype(dtype)
         gt = head_expand_matrix()                           # (128, D)
         pe = matmul(pn.reshape(t * n, 128), gt).reshape(t, n, d)
-        att = jnp.sum(pe * selfv_ref[0].astype(f32), axis=0)
+        att = jnp.sum(pe * self_v_block().astype(f32), axis=0)
         att = att + matmul(pn_cur, gt) * v_new.astype(f32)
         o = dense(att.astype(dtype), 3 * d, 4 * d, 3 * d)
         h_s[:] = layer_norm(o, x, 4 * d)
@@ -362,17 +426,17 @@ def _kernel(hidden0_ref, w_ref, b_ref, selfk_ref, selfv_ref, bias_tn_ref,
             h_s[:] = layer_norm(a, x, 12 * d)
 
         x = h_s[:]
-        f = w_ref.shape[2] // 2 - 4 * d                     # P = 8D + 2F
+        f = (wt_ref.shape[-1] - 3 * d) // 2                 # tail = 3D + 2F
         nch = f // d
         h1 = dense(x, 8 * d, 8 * d + f, 14 * d)
         # exact-erf GELU via the polynomial _erf (Mosaic implements neither
         # erf nor erfc, which jax.nn.gelu(approximate=False) lowers through)
         h32 = h1.astype(f32)
         h1 = (0.5 * h32 * (1.0 + _erf(h32 * (2.0 ** -0.5)))).astype(dtype)
-        acc = matmul(h1[:, :d], w_ref[0, :, 8 * d + f:9 * d + f])
+        acc = matmul(h1[:, :d], w_tail(3 * d + f, 4 * d + f))
         for c in range(1, nch):
             acc += matmul(h1[:, c * d:(c + 1) * d],
-                          w_ref[0, :, (8 + c) * d + f:(9 + c) * d + f])
+                          w_tail((3 + c) * d + f, (4 + c) * d + f))
         b_lo = 14 * d + f
         h2 = acc.astype(dtype) + b_ref[0, 0, b_lo:b_lo + d].astype(dtype)
         h_s[:] = layer_norm(h2, x, 15 * d + f)
@@ -382,7 +446,8 @@ def _kernel(hidden0_ref, w_ref, b_ref, selfk_ref, selfv_ref, bias_tn_ref,
             hidden_out_ref[:] = h_s[:]
 
 
-def fused_decode_step(hidden0: jax.Array, w_all: jax.Array, b_all: jax.Array,
+def fused_decode_step(hidden0: jax.Array, w_head: jax.Array,
+                      w_tail: jax.Array, b_all: jax.Array,
                       self_k: jax.Array, self_v: jax.Array,
                       bias_tn: jax.Array, cross_kd: jax.Array,
                       cross_vc: jax.Array, *, heads: int, beams: int,
@@ -410,26 +475,49 @@ def fused_decode_step(hidden0: jax.Array, w_all: jax.Array, b_all: jax.Array,
         interpret = jax.default_backend() == "cpu"
     dtype = hidden0.dtype
 
-    def li(i, j):
-        del j
-        return i
-
     def cross_idx(i, j):
         layer = jnp.minimum(i, nlc - 1)
         sample = jnp.where(i < nlc, jnp.clip(j - 1, 0, b - 1), b - 1)
         return layer, sample, 0, 0
 
+    import os
+    manual_dma = os.environ.get("PRISMER_FUSED_WDMA", "0") == "1"
     kern = functools.partial(
         _kernel, heads=heads, dh=dh, nlc=nlc, batch=b, beams=beams,
-        valid_len=valid_len, eps=eps, dtype=dtype)
+        valid_len=valid_len, eps=eps, dtype=dtype, manual_dma=manual_dma,
+        nl=nl)
 
-    p = w_all.shape[2]
-    f = (p - 8 * d) // 2
+    assert w_head.shape[2] == 5 * d, w_head.shape
+    f = (w_tail.shape[2] - 3 * d) // 2
     flops_cross = 2 * 2 * nlc * b * (heads * QP) * dh * heads * lp
     flops_dense = 2 * nl * n * d * (8 * d + 2 * f)
-    bytes_acc = (w_all.size * w_all.dtype.itemsize
+    bytes_acc = ((w_head.size + w_tail.size) * w_head.dtype.itemsize
                  + (cross_kd.size + cross_vc.size) * cross_kd.dtype.itemsize
                  + (self_k.size + self_v.size) * self_k.dtype.itemsize)
+
+    if manual_dma:
+        wh_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        wt_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        sk_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        sv_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        dma_scratch = [
+            pltpu.VMEM((2, d, 5 * d), dtype),
+            pltpu.VMEM((2, d, w_tail.shape[2]), dtype),
+            pltpu.VMEM((2, t, n, d), dtype),
+            pltpu.VMEM((2, t, n, d), dtype),
+            pltpu.SemaphoreType.DMA((4, 2)),
+        ]
+    else:
+        wh_spec = pl.BlockSpec((1, d, 5 * d), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        wt_spec = pl.BlockSpec((1, d, w_tail.shape[2]),
+                               lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        sk_spec = pl.BlockSpec((1, t, n, d), lambda i, j: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        sv_spec = pl.BlockSpec((1, t, n, d), lambda i, j: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        dma_scratch = []
 
     grid = (nl, b + 2)
     out = pl.pallas_call(
@@ -438,16 +526,14 @@ def fused_decode_step(hidden0: jax.Array, w_all: jax.Array, b_all: jax.Array,
         in_specs=[
             pl.BlockSpec((n, d), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, p), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            wh_spec,
+            wt_spec,
             # (NL, 1, PB): a (1, 1, PB) block keeps Mosaic's last-two-dims
             # rule satisfied (a 2-D (1, PB) block would not)
             pl.BlockSpec((1, 1, b_all.shape[1]), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, n, d), lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, n, d), lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            sk_spec,
+            sv_spec,
             pl.BlockSpec((t, n), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, dh, heads * lp), cross_idx,
@@ -473,7 +559,7 @@ def fused_decode_step(hidden0: jax.Array, w_all: jax.Array, b_all: jax.Array,
             pltpu.VMEM((b * QP, heads * 128), dtype),  # cross-q, strided +
                                                        # lane-padded
             pltpu.VMEM((b * QP, d), dtype),         # cross-out, strided
-        ],
+        ] + dma_scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=128 * 1024 * 1024,
@@ -484,6 +570,6 @@ def fused_decode_step(hidden0: jax.Array, w_all: jax.Array, b_all: jax.Array,
             transcendentals=nlc * b * heads * QP * lp + nl * t * n * 128,
         ),
         interpret=interpret,
-    )(hidden0, w_all, b_all[:, None, :], self_k, self_v, bias_tn,
+    )(hidden0, w_head, w_tail, b_all[:, None, :], self_k, self_v, bias_tn,
       cross_kd, cross_vc)
     return out[0], out[1], out[2]

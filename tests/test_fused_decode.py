@@ -87,7 +87,7 @@ def test_fused_step_matches_xla(dtype, atol):
     rb.set_fused_decode("on")
     got, cache_f = _run_steps(dec, variables, enc, ids_tiled, mask_tiled,
                               prompt_mask)
-    assert "w_all" in cache_f and "self_k_tn" in cache_f
+    assert "w_head" in cache_f and "self_k_tn" in cache_f
     for s, (r, g) in enumerate(zip(ref, got)):
         np.testing.assert_allclose(
             np.asarray(g, np.float32), np.asarray(r, np.float32),
