@@ -481,7 +481,13 @@ def fused_decode_step(hidden0: jax.Array, w_head: jax.Array,
         return layer, sample, 0, 0
 
     import os
-    manual_dma = os.environ.get("PRISMER_FUSED_WDMA", "0") == "1"
+    # manual weight/self-cache streaming DEFAULT ON: same-session slope A/B
+    # (tools/check_fused_decode_tpu.py --mode fused --slope, b32) measured
+    # 2.316 ms/step manual vs 2.377 BlockSpec (and 2.582 before the
+    # head/tail weight split) — the whole-layer fetch window beats the
+    # one-step BlockSpec lookahead. PRISMER_FUSED_WDMA=0 keeps the
+    # BlockSpec path for A/B.
+    manual_dma = os.environ.get("PRISMER_FUSED_WDMA", "1") == "1"
     kern = functools.partial(
         _kernel, heads=heads, dh=dh, nlc=nlc, batch=b, beams=beams,
         valid_len=valid_len, eps=eps, dtype=dtype, manual_dma=manual_dma,
