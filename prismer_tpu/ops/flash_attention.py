@@ -96,77 +96,75 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     (valid_lk = true key length). The where-pass over the (BQ, BK) scores is
     pure VPU work on the kernel's critical path, and the encoder's
     self-attention has no padding to mask."""
-    q = q_ref[0]                               # (BQ, D) native dtype
     lk = k_ref.shape[1]
-    bq = q.shape[0]
     n_kb = lk // block_k
 
     qi = pl.program_id(1)
-    q_start = qi * bq
 
-    def make_body(masked: bool, static_tail: bool):
-        def body(kb, carry):
-            acc, m, l = carry  # acc (BQ, D); m/l (BQ, 1) — 2D TPU layout
-            ks = kb * block_k
-            kblk = k_ref[0, pl.ds(ks, block_k), :]
-            vblk = v_ref[0, pl.ds(ks, block_k), :]
-            s = jax.lax.dot_general(
-                q, kblk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale  # (BQ, BK) fp32
+    # the leading block dim groups `gh` (batch*head) rows per program —
+    # amortizes per-grid-step overhead (swept, _block_sizes docstring)
+    for g in range(q_ref.shape[0]):
+        q = q_ref[g]                           # (BQ, D) native dtype
+        bq = q.shape[0]
+        q_start = qi * bq
 
-            if masked:
-                kmask = mask_ref[0, :, pl.ds(ks, block_k)] > 0   # (1, BK)
-                s = jnp.where(kmask, s, NEG_INF)
-            if static_tail:
-                cols = ks + jax.lax.broadcasted_iota(
-                    jnp.int32, (bq, block_k), 1)
-                s = jnp.where(cols < valid_lk, s, NEG_INF)
-            if causal:
-                rows = q_start + jax.lax.broadcasted_iota(
-                    jnp.int32, (bq, block_k), 0)
-                cols = ks + jax.lax.broadcasted_iota(
-                    jnp.int32, (bq, block_k), 1)
-                s = jnp.where(cols <= rows, s, NEG_INF)
+        def make_body(masked: bool, static_tail: bool, g=g, q=q,
+                      q_start=q_start, bq=bq):
+            def body(kb, carry):
+                acc, m, l = carry  # acc (BQ, D); m/l (BQ, 1) — 2D layout
+                ks = kb * block_k
+                kblk = k_ref[g, pl.ds(ks, block_k), :]
+                vblk = v_ref[g, pl.ds(ks, block_k), :]
+                s = jax.lax.dot_general(
+                    q, kblk, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
 
-            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-            alpha = _exp(m - m_new)
-            p = _exp(s - m_new)                           # fp32 stats
-            l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-            acc_new = acc * alpha + jax.lax.dot_general(
-                p.astype(vblk.dtype), vblk, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            return acc_new, m_new, l_new
-        return body
+                if masked:
+                    kmask = mask_ref[g, :, pl.ds(ks, block_k)] > 0  # (1, BK)
+                    s = jnp.where(kmask, s, NEG_INF)
+                if static_tail:
+                    cols = ks + jax.lax.broadcasted_iota(
+                        jnp.int32, (bq, block_k), 1)
+                    s = jnp.where(cols < valid_lk, s, NEG_INF)
+                if causal:
+                    rows = q_start + jax.lax.broadcasted_iota(
+                        jnp.int32, (bq, block_k), 0)
+                    cols = ks + jax.lax.broadcasted_iota(
+                        jnp.int32, (bq, block_k), 1)
+                    s = jnp.where(cols <= rows, s, NEG_INF)
 
-    acc0 = jnp.zeros((bq, q.shape[1]), jnp.float32)
-    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
+                m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+                alpha = _exp(m - m_new)
+                p = _exp(s - m_new)                       # fp32 stats
+                l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+                acc_new = acc * alpha + jax.lax.dot_general(
+                    p.astype(vblk.dtype), vblk, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return acc_new, m_new, l_new
+            return body
 
-    if mask_ref is None:
-        # mask-free: full blocks run with NO mask work; a partial tail block
-        # (k-padding) is processed once with a static iota mask
-        n_full = valid_lk // block_k
-        carry = jax.lax.fori_loop(0, n_full, make_body(False, False),
-                                  (acc0, m0, l0))
-        if valid_lk % block_k:
-            carry = make_body(False, True)(n_full, carry)
-        acc, m, l = carry
-    elif causal:
-        # only k-blocks up to the diagonal contribute
-        last = jnp.minimum(n_kb, pl.cdiv(q_start + bq, block_k))
-        acc, m, l = jax.lax.fori_loop(0, last, make_body(True, False),
+        acc0 = jnp.zeros((bq, q.shape[1]), jnp.float32)
+        m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bq, 1), jnp.float32)
+
+        if mask_ref is None:
+            n_full = valid_lk // block_k
+            carry = jax.lax.fori_loop(0, n_full, make_body(False, False),
                                       (acc0, m0, l0))
-    else:
-        acc, m, l = jax.lax.fori_loop(0, n_kb, make_body(True, False),
-                                      (acc0, m0, l0))
+            if valid_lk % block_k:
+                carry = make_body(False, True)(n_full, carry)
+            acc, m, l = carry
+        elif causal:
+            last = jnp.minimum(n_kb, pl.cdiv(q_start + bq, block_k))
+            acc, m, l = jax.lax.fori_loop(0, last, make_body(True, False),
+                                          (acc0, m0, l0))
+        else:
+            acc, m, l = jax.lax.fori_loop(0, n_kb, make_body(True, False),
+                                          (acc0, m0, l0))
 
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-    # lse is stored as a (BQ, 8) lane-replicated tile: Mosaic constrains the
-    # last two block dims to be (8,128)-aligned or full-size, and dynamic
-    # narrow stores miscompile — a static full-block store of a small
-    # replicated tile sidesteps both
-    lse = m + jnp.log(jnp.maximum(l, 1e-30))              # (BQ, 1)
-    lse_ref[0] = jnp.broadcast_to(lse, (bq, 8))
+        o_ref[g] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        lse = m + jnp.log(jnp.maximum(l, 1e-30))          # (BQ, 1)
+        lse_ref[g] = jnp.broadcast_to(lse, (bq, 8))
 
 
 def _block_sizes(lq: int, lk: int, block_q: Optional[int] = None,
@@ -231,6 +229,7 @@ def _maskfree_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, **kw):
 def _flash_forward(q, k, v, key_mask, causal,
                    block_q: Optional[int] = None,
                    block_k: Optional[int] = None,
+                   bh_block: Optional[int] = None,
                    interpret: Optional[bool] = None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -241,7 +240,12 @@ def _flash_forward(q, k, v, key_mask, causal,
     qf, kf, vf, maskf, lq_p, lk_p = _pad_inputs(q, k, v, key_mask,
                                                 block_q, block_k)
 
-    grid = (b * h, lq_p // block_q)
+    if bh_block is None:
+        import os
+        bh_block = int(os.environ.get("PRISMER_FLASH_BH", "1"))
+    gh = bh_block if (b * h) % bh_block == 0 else 1
+
+    grid = ((b * h) // gh, lq_p // block_q)
     if mask_free:
         kernel = functools.partial(
             _maskfree_kernel, scale=1.0 / np.sqrt(d), block_k=block_k,
@@ -254,16 +258,16 @@ def _flash_forward(q, k, v, key_mask, causal,
         inputs = (qf, kf, vf, maskf)
 
     in_specs = [
-        pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
+        pl.BlockSpec((gh, block_q, d), lambda bh, qi: (bh, qi, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, lk_p, d), lambda bh, qi: (bh, 0, 0),
+        pl.BlockSpec((gh, lk_p, d), lambda bh, qi: (bh, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, lk_p, d), lambda bh, qi: (bh, 0, 0),
+        pl.BlockSpec((gh, lk_p, d), lambda bh, qi: (bh, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     if not mask_free:
         in_specs.append(
-            pl.BlockSpec((1, 1, lk_p), lambda bh, qi: (bh, 0, 0),
+            pl.BlockSpec((gh, 1, lk_p), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM))
 
     out, lse = pl.pallas_call(
@@ -271,9 +275,9 @@ def _flash_forward(q, k, v, key_mask, causal,
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
+            pl.BlockSpec((gh, block_q, d), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 8), lambda bh, qi: (bh, qi, 0),
+            pl.BlockSpec((gh, block_q, 8), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--iters", type=int, default=16)
     ap.add_argument("--blocks", type=int, nargs=2, default=None,
                     help="block_q block_k override (ours and official)")
+    ap.add_argument("--bh", type=int, default=None,
+                    help="batch*head rows per program (ours only)")
     ap.add_argument("--interleave", type=int, default=0,
                     help="N>0: experimental N-way interleaved-halves kernel")
     args = ap.parse_args()
@@ -38,10 +40,11 @@ def main():
     b, h, l, d = args.shape
     if args.interleave:
         fn = lambda q, k, v: interleaved_forward(q, k, v, args.interleave)
-    elif args.blocks and not args.official:
-        bq, bk = args.blocks
+    elif (args.blocks or args.bh) and not args.official:
+        bq, bk = args.blocks or (None, None)
         fn = lambda q, k, v: fa_mod._flash_forward(
-            q, k, v, None, False, block_q=bq, block_k=bk)[0]
+            q, k, v, None, False, block_q=bq, block_k=bk,
+            bh_block=args.bh)[0]
     elif args.official:
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes, flash_attention as official_fa)
