@@ -242,7 +242,13 @@ def _flash_forward(q, k, v, key_mask, causal,
 
     if bh_block is None:
         import os
-        bh_block = int(os.environ.get("PRISMER_FLASH_BH", "1"))
+        # two (batch, head) rows per program: 3.856 -> 3.704 ms/call at the
+        # encoder's 32x12x964x64 shape (swept 1/2/4/8 via
+        # tools/bench_flash_attn.py --bh; >=4 fails to compile), and
+        # end-to-end encode 104.91 -> 104.08 ms/iter at b32
+        # (tools/profile_pipeline.py --stages encode A/B). Grid-step
+        # overhead amortization; block VMEM stays ~1 MB.
+        bh_block = int(os.environ.get("PRISMER_FLASH_BH", "2"))
     gh = bh_block if (b * h) % bh_block == 0 else 1
 
     grid = ((b * h) // gh, lq_p // block_q)
