@@ -313,12 +313,19 @@ class MultiHeadAttention(nn.Module):
                        qkv[..., 2 * dim:])
         else:
             q, k, v = dq(x), dk(kv), dv(kv)
-        q, k, v = (split_heads(t, self.num_heads) for t in (q, k, v))
-        if mask_bias is None:
-            out = attention(q, k, v)  # flash path on TPU
+        if mask_bias is None and use_flash_attention():
+            # packed (B, L, H*Dh) kernel: no head-split transposes, no
+            # length padding — kills ~28 ms of copy/pad HBM traffic in the
+            # b32 encode (ops/flash_attention.py packed_attention notes)
+            from prismer_tpu.ops.flash_attention import packed_attention
+            out = packed_attention(q, k, v, self.num_heads)
         else:
-            out = dot_product_attention(q, k, v, mask_bias)
-        out = merge_heads(out)
+            q, k, v = (split_heads(t, self.num_heads) for t in (q, k, v))
+            if mask_bias is None:
+                out = attention(q, k, v)  # flash path on TPU
+            else:
+                out = dot_product_attention(q, k, v, mask_bias)
+            out = merge_heads(out)
         return nn.Dense(dim, dtype=self.dtype, name="out_proj")(out)
 
 

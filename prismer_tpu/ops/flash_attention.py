@@ -492,3 +492,221 @@ def _bwd(causal, res, g):
 
 
 flash_attention.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# packed-layout (head-on-lanes) forward — the encoder/resampler hot path
+# ---------------------------------------------------------------------------
+#
+# The (B, H, L, Dh) API above forces the caller to head-split the QKV
+# projection outputs: on TPU, XLA materializes each (B, L, H*Dh) ->
+# (B, H, L, Dh) transpose as a layout copy + normalization copy, and the
+# wrapper then pads L to block multiples — at the b32 encoder shape that is
+# ~7 GB of HBM writes per encode (measured: tools/trace_breakdown.py
+# attributes ~18 ms of `copy` + ~10 ms of `pad` to the 104 ms encode;
+# tools/dump_encode_hlo.py lists the instructions).
+#
+# This variant consumes the projections' NATIVE layout (B, L, H*Dh)
+# directly. Head h lives on lanes [h*Dh, (h+1)*Dh). Blocks slice lanes in
+# groups of G = lcm(Dh, 128)/Dh heads so every block boundary is
+# 128-aligned (G=2 at Dh=64, G=4 at Dh=96); the per-head 64/96-offset
+# splits happen on VMEM-resident vectors inside the kernel. L dims are
+# NEVER padded: the whole-Q x whole-K blocks are declared equal to the
+# array dims (Mosaic's exception to the (8,128)-divisibility rule) and
+# reductions run on logical shapes. Mask-free non-causal only — exactly
+# the encoder self-attention (vit.py) and resampler cross-attention
+# (resampler.py) shapes; everything else falls back to the transposing
+# path via `packed_attention`.
+
+
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                   dh: int, scale: float, slice_mode: str = "select"):
+    """One (batch, lane-group) program; whole Q, whole K in VMEM.
+
+    q_ref (1, LQ, G*dh), k_ref/v_ref (1, LK, G*dh), o_ref like q_ref,
+    lse_ref (1, LQ, G*8). Single k-iteration (whole-K): no online-softmax
+    rescale, like the swept whole-K policy of `_flash_kernel`.
+
+    slice_mode picks how a head's dh lanes are split out of the G*dh-lane
+    block: 'ds' = strided VMEM lane slice (offset-carrying vectors force
+    Mosaic relayouts at non-128 offsets); 'select' = one-hot selector
+    matmul (exact copy on the MXU, offset-0 result)."""
+    g_heads = q_ref.shape[-1] // dh
+    lanes = q_ref.shape[-1]
+
+    def head_slice(ref, g):
+        if slice_mode == "ds" or g * dh % 128 == 0:
+            return ref[0, :, pl.ds(g * dh, dh)]
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (lanes, dh), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (lanes, dh), 1)
+               + g * dh).astype(ref.dtype)
+        return jax.lax.dot_general(
+            ref[0], sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(ref.dtype)
+
+    outs, lses = [], []
+    for g in range(g_heads):
+        q = head_slice(q_ref, g)                    # (LQ, dh) native dtype
+        k = head_slice(k_ref, g)                    # (LK, dh)
+        v = head_slice(v_ref, g)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # (LQ, LK) fp32
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = _exp(s - m)                                   # fp32 stats
+        l = jnp.sum(p, axis=1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        outs.append((acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype))
+        lse = m + jnp.log(jnp.maximum(l, 1e-30))          # (LQ, 1)
+        lses.append(jnp.broadcast_to(lse, (lse.shape[0], 8)))
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
+    lse_ref[0] = jnp.concatenate(lses, axis=-1)
+
+
+def _head_group(dh: int) -> int:
+    g = 1
+    while (g * dh) % 128:
+        g += 1
+    return g
+
+
+def packed_eligible(num_heads: int, lq: int, lk: int, width: int) -> bool:
+    """Mask-free shapes the packed kernel handles: 128-alignable head
+    groups and whole-K VMEM residency (k + v + fp32 scores per program)."""
+    if width % num_heads:
+        return False
+    dh = width // num_heads
+    g = _head_group(dh)
+    if num_heads % g:
+        return False
+    vmem = (lq + 2 * lk) * g * dh * 2 + lq * lk * 6  # q/k/v bf16 + s/p
+    return vmem < 12 * 1024 * 1024
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention_packed(q, k, v, num_heads: int):
+    """Mask-free attention on packed (B, L, H*Dh) operands (no head
+    transposes, no length padding). Use `packed_attention` for the
+    eligibility-checked entry point."""
+    return _packed_forward(q, k, v, num_heads)[0]
+
+
+def _packed_forward(q, k, v, num_heads: int,
+                    interpret: Optional[bool] = None,
+                    slice_mode: Optional[str] = None):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if slice_mode is None:
+        import os
+        # 'ds' measured 5.19 vs 'select' 5.55 ms/call at the encoder shape
+        # (tools/bench_packed_flash.py): the offset-carrying relayout is
+        # cheaper than the selector matmuls here
+        slice_mode = os.environ.get("PRISMER_PACKED_SLICE", "ds")
+    b, lq, width = q.shape
+    lk = k.shape[1]
+    dh = width // num_heads
+    assert dh * num_heads == width
+    g = _head_group(dh)
+    assert num_heads % g == 0, (
+        f"num_heads={num_heads} not divisible by lane group {g} (dh={dh}); "
+        "gate calls with packed_eligible / use packed_attention")
+    n_groups = num_heads // g
+    lanes = g * dh
+
+    kernel = functools.partial(_packed_kernel, dh=dh,
+                               scale=1.0 / np.sqrt(dh),
+                               slice_mode=slice_mode)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(b * n_groups,),
+        in_specs=[
+            pl.BlockSpec((1, lq, lanes),
+                         lambda i: (i // n_groups, 0, i % n_groups),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, lanes),
+                         lambda i: (i // n_groups, 0, i % n_groups),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, lanes),
+                         lambda i: (i // n_groups, 0, i % n_groups),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, lq, lanes),
+                         lambda i: (i // n_groups, 0, i % n_groups),
+                         memory_space=pltpu.VMEM),
+            # lse gets its own leading (batch, group) axis: a lane block
+            # must be 128-divisible OR equal the array's lane dim, and
+            # G*8 (16 at Dh=64) only satisfies the latter
+            pl.BlockSpec((1, lq, g * 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, lq, width), q.dtype),
+            jax.ShapeDtypeStruct((b * n_groups, lq, g * 8), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * lq * lk * dh,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * num_heads * lq * lk,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return out, lse
+
+
+def _packed_fwd(q, k, v, num_heads):
+    o, lse = _packed_forward(q, k, v, num_heads)
+    return o, (q, k, v, o, lse)
+
+
+def _packed_bwd(num_heads, res, g):
+    """Train-path backward: transpose to (B, H, L, Dh) and reuse the
+    Pallas backward kernels. The transposes this reintroduces run only
+    under jax.grad — the serving forward never pays them."""
+    q, k, v, o, lse = res
+    b, lq, width = q.shape
+    dh = width // num_heads
+
+    def split(t):
+        bl = t.shape[1]
+        return t.reshape(b, bl, num_heads, dh).transpose(0, 2, 1, 3)
+
+    q4, k4, v4, o4, g4 = split(q), split(k), split(v), split(o), split(g)
+    block_q, _ = _block_sizes(lq, k.shape[1])
+    lq_p = lq + (-lq % block_q)
+    # (B*NG, LQ, G*8) -> (B*H, lq_p, 8), padded rows zero (their do/q are
+    # zero in the backward kernels, so any finite lse is inert)
+    grp = _head_group(dh)
+    lse4 = lse.reshape(b, num_heads // grp, lq, grp, 8)
+    lse4 = lse4.transpose(0, 1, 3, 2, 4).reshape(b, num_heads, lq, 8)
+    lse4 = jnp.pad(lse4, ((0, 0), (0, 0), (0, lq_p - lq), (0, 0)))
+    lse4 = lse4.reshape(b * num_heads, lq_p, 8)
+    dq4, dk4, dv4 = _flash_backward(q4, k4, v4, None, False, lse4, o4, g4)
+
+    def merge(t):
+        return t.transpose(0, 2, 1, 3).reshape(b, t.shape[2], width)
+
+    return merge(dq4), merge(dk4), merge(dv4)
+
+
+flash_attention_packed.defvjp(_packed_fwd, _packed_bwd)
+
+
+def packed_attention(q, k, v, num_heads: int, key_mask=None,
+                     causal: bool = False):
+    """Attention on packed (B, L, H*Dh) operands. Routes mask-free shapes
+    through the transpose-free packed kernel; everything else (masks,
+    causal, VMEM-exceeding keys) through the standard head-split path."""
+    if key_mask is None and not causal and packed_eligible(
+            num_heads, q.shape[1], k.shape[1], q.shape[2]):
+        return flash_attention_packed(q, k, v, num_heads)
+    b, lq, width = q.shape
+    dh = width // num_heads
+
+    def split(t):
+        return t.reshape(b, t.shape[1], num_heads, dh).transpose(0, 2, 1, 3)
+
+    out = flash_attention(split(q), split(k), split(v), key_mask, causal)
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, width)

@@ -149,6 +149,104 @@ def test_flash_pallas_backward_bf16(rng):
                                    np.asarray(gr), atol=0.1, rtol=0.05)
 
 
+def pack(t):
+    """(B, H, L, D) -> (B, L, H*D)."""
+    b, h, l, d = t.shape
+    return jnp.asarray(np.asarray(t).transpose(0, 2, 1, 3).reshape(b, l, h * d))
+
+
+@pytest.mark.parametrize("h,dh,lq,lk", [
+    (4, 64, 37, 37),     # G=2 head pairs, ragged non-8-multiple lengths
+    (4, 64, 13, 70),     # cross-attention shape
+    (8, 96, 20, 53),     # resampler head geometry: G=4 groups
+    (2, 128, 16, 16),    # G=1 (dh already lane-aligned)
+])
+def test_packed_flash_matches_reference(rng, h, dh, lq, lk):
+    """The transpose-free packed-layout kernel == reference attention."""
+    from prismer_tpu.ops.flash_attention import flash_attention_packed
+    q, k, v = make_qkv(rng, b=2, h=h, lq=lq, lk=lk, d=dh)
+    want = pack(mha_reference(q, k, v))
+    got = flash_attention_packed(pack(q), pack(k), pack(v), h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_packed_flash_bf16(rng):
+    from prismer_tpu.ops.flash_attention import flash_attention_packed
+    q, k, v = make_qkv(rng, b=2, h=4, lq=32, lk=32, d=64)
+    want = pack(mha_reference(q, k, v))
+    got = flash_attention_packed(
+        *(pack(t).astype(jnp.bfloat16) for t in (q, k, v)), 4)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), atol=0.03)
+
+
+def test_packed_flash_gradients(rng):
+    """custom_vjp of the packed path (transpose + reuse of the Pallas
+    backward kernels) == reference grads."""
+    from prismer_tpu.ops.flash_attention import flash_attention_packed
+    q, k, v = make_qkv(rng, b=2, h=4, lq=18, lk=25, d=64)
+    qp, kp, vp = pack(q), pack(k), pack(v)
+
+    def loss_flash(a, b_, c):
+        out = flash_attention_packed(a, b_, c, 4)
+        return jnp.sum(out * jnp.cos(out))
+
+    def ref_loss(q, k, v):
+        out = mha_reference(q, k, v)
+        outp = out.transpose(0, 2, 1, 3).reshape(2, 18, 256)
+        return jnp.sum(outp * jnp.cos(outp))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(qp, kp, vp)
+    g_ref4 = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    g_ref = [pack(t) for t in g_ref4]
+    for gf, gr in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=3e-4, rtol=1e-3)
+
+
+def test_packed_attention_fallback_routes(rng):
+    """Masked / causal / oversized shapes fall back to the head-split path
+    and still match the reference."""
+    from prismer_tpu.ops.flash_attention import (packed_attention,
+                                                 packed_eligible)
+    q, k, v = make_qkv(rng, b=2, h=4, lq=20, lk=33, d=16)
+    mask = np.ones((2, 33), np.int32)
+    mask[0, 25:] = 0
+    mask = jnp.asarray(mask)
+    want = pack(mha_reference(q, k, v, mask))
+    got = packed_attention(pack(q), pack(k), pack(v), 4, key_mask=mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+    # eligibility: indivisible heads and VMEM-exceeding keys are refused
+    assert not packed_eligible(3, 64, 64, 64)       # 64 % 3 != 0
+    assert not packed_eligible(12, 964, 200_000, 768)
+    assert packed_eligible(12, 964, 964, 768)       # the encoder hot shape
+    assert packed_eligible(8, 64, 1240, 768)        # the resampler shape
+
+
+def test_mha_packed_path_matches_xla(rng):
+    """Model-level: MultiHeadAttention with the packed flash path ==
+    the XLA path (the encoder/resampler integration surface)."""
+    mha = layers.MultiHeadAttention(num_heads=4)
+    x = jnp.asarray(rng.standard_normal((2, 37, 64)).astype(np.float32))
+    kv = jnp.asarray(rng.standard_normal((2, 53, 64)).astype(np.float32))
+    params = mha.init(jax.random.key(0), x, kv)
+    layers.set_attention_impl("xla")
+    try:
+        want = mha.apply(params, x, kv)
+    finally:
+        layers.set_attention_impl(None)
+    layers.set_attention_impl("flash")
+    try:
+        got = mha.apply(params, x, kv)
+    finally:
+        layers.set_attention_impl(None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-4)
+
+
 def test_block_size_policy():
     """The swept whole-Q/whole-K policy (ops/flash_attention.py
     _block_sizes): single k-block when it fits, padding-minimizing k-block
