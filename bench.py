@@ -470,6 +470,10 @@ def main():
     prompt_len = 4  # 'A picture of' minus </s> (prismer_caption.py:38-40)
     variables = init_variables(model, cfg, batches[0],
                                "float32" if args.quick else args.params_dtype)
+    # serving setup: precompute the fused-decode packed weights once (pure
+    # layout of static params; in-graph packing costs ~5 ms per b32 call)
+    from prismer_tpu.models.prismer import prepare_serving_variables
+    variables = prepare_serving_variables(model, variables)
 
     def one_caption_pass(variables, experts, key, batch):
         prompt = jax.random.randint(key, (batch, prompt_len), 4, 1000)

@@ -33,6 +33,8 @@ def main():
         state_vars = common.load_pretrained(args.pretrained, cfg, state_vars)
 
     gen_fn = caption_head.build_generate_fn(model)
+    from prismer_tpu.models.prismer import prepare_serving_variables
+    state_vars = prepare_serving_variables(model, state_vars)
     prefix = config.get("prefix", "")
     for batch in loader:
         ids, mask = caption_head.prefix_prompt_ids(tokenizer, prefix, 1)

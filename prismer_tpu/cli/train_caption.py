@@ -25,6 +25,7 @@ from prismer_tpu.cli import common
 from prismer_tpu.data import create_dataset, create_loader
 from prismer_tpu.evals.coco_eval import coco_caption_eval
 from prismer_tpu.models import caption as caption_head
+from prismer_tpu.models import prismer as prismer_mod
 from prismer_tpu.train import build_train_step
 from prismer_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 from prismer_tpu.train.schedules import per_step_cosine
@@ -49,6 +50,9 @@ def evaluate(model, state, test_loader, tokenizer, config, args,
     gen = generate_fn or caption_head.build_generate_fn(model)
     results = []
     variables = state.variables if hasattr(state, "variables") else state
+    # one-time per eval: precompute the fused-decode packed weights so the
+    # jitted generate skips the in-graph re-packing (models/prismer.py)
+    variables = prismer_mod.prepare_serving_variables(model, variables)
     for batch in test_loader:
         b = len(batch["index"])
         ids, mask = caption_head.prefix_prompt_ids(tokenizer, prefix, b)

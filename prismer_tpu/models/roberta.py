@@ -64,6 +64,31 @@ def use_fused_decode() -> bool:
     return _FUSED_DECODE == "on"
 
 
+def pack_decode_collection(decoder_params: Dict[str, Any],
+                           cfg: TextDecoderConfig, dtype) -> Dict[str, Any]:
+    """Fused-decode packed weight tensors for the `packed_decode` variable
+    collection: {"w_head", "w_tail", "b_all"} (layouts in the
+    ops/fused_decode.py module docstring).
+
+    Packing is a pure layout transform of the static decoder params, but run
+    inside the jitted generate program it costs ~5 ms per call at Prismer-BASE
+    b32 (XLA cannot hoist work across calls). Serving setups compute this ONCE
+    via prismer.prepare_serving_variables and pass it alongside "params";
+    _fused_cache falls back to in-graph packing when the collection is absent
+    (training/eval paths, tiny tests)."""
+    from prismer_tpu.ops.fused_decode import pack_decode_weights
+    w_all, b_all = pack_decode_weights(
+        [decoder_params[f"layers_{i}"]
+         for i in range(cfg.num_hidden_layers)],
+        decoder_params["output_layer"], cfg.hidden_size,
+        cfg.intermediate_size, dtype)
+    d = cfg.hidden_size
+    # head/tail column split materialized once: BlockSpecs can only address
+    # block-aligned offsets, so the kernel takes two tensors
+    return {"w_head": w_all[:, :, :5 * d], "w_tail": w_all[:, :, 5 * d:],
+            "b_all": b_all}
+
+
 def create_position_ids(input_ids: jax.Array, attention_mask: jax.Array,
                         padding_idx: int) -> jax.Array:
     """Non-pad tokens numbered from padding_idx+1; pads get padding_idx
@@ -373,10 +398,13 @@ class RobertaCausalDecoder(nn.Module):
         """Convert prefill K/V into the fused-kernel layouts plus the packed
         per-layer weights (ops/fused_decode.py module docstring). Weights are
         packed ONCE per generate call and ride in the cache dict — repacking
-        per step would re-stream ~2x the weight bytes."""
-        from prismer_tpu.ops.fused_decode import (pack_cross_cache,
-                                                  pack_decode_weights)
-        c = self.cfg
+        per step would re-stream ~2x the weight bytes. If the caller supplied
+        a precomputed `packed_decode` variable collection (see
+        pack_decode_collection / prismer.prepare_serving_variables), the
+        in-graph packing is skipped entirely: packing is a pure layout
+        transform of static params that XLA cannot hoist across calls and
+        costs ~5 ms per b32 generate."""
+        from prismer_tpu.ops.fused_decode import pack_cross_cache
         # kt (N, H, Dh, T) -> (T, N, D); v (N, H, T, Dh) -> (T, N, D)
         self_k = jnp.stack([
             kt.transpose(3, 0, 1, 2).reshape(kt.shape[3], kt.shape[0], -1)
@@ -387,18 +415,15 @@ class RobertaCausalDecoder(nn.Module):
         # ckt (B, H, Dh, L) -> natural (B, H, L, Dh) for the packer
         kds, vcs = zip(*(pack_cross_cache(ckt.transpose(0, 1, 3, 2), cv)
                          for ckt, cv in zip(ckts, cvs)))
-        params = self.variables["params"]
-        w_all, b_all = pack_decode_weights(
-            [params[f"layers_{i}"] for i in range(c.num_hidden_layers)],
-            params["output_layer"], c.hidden_size, c.intermediate_size,
-            self.dtype)
-        d = c.hidden_size
-        # head/tail column split materialized once: BlockSpecs can only
-        # address block-aligned offsets, so the kernel takes two tensors
+        if self.has_variable("packed_decode", "w_head"):
+            packed = {k: self.get_variable("packed_decode", k)
+                      for k in ("w_head", "w_tail", "b_all")}
+        else:
+            packed = pack_decode_collection(self.variables["params"],
+                                            self.cfg, self.dtype)
         return {"self_k_tn": self_k, "self_v_tn": self_v,
                 "cross_kd": jnp.stack(kds), "cross_vc": jnp.stack(vcs),
-                "w_head": w_all[:, :, :5 * d], "w_tail": w_all[:, :, 5 * d:],
-                "b_all": b_all}
+                **packed}
 
     def init_cache(self, input_ids: jax.Array, attention_mask: jax.Array,
                    encoder_hidden_states: jax.Array, max_len: int,

@@ -164,3 +164,74 @@ def test_fused_beam_search_end_to_end():
     assert calls, "fused path was never traced"
     np.testing.assert_array_equal(np.asarray(seq_f), np.asarray(seq_x))
     np.testing.assert_allclose(np.asarray(sc_f), np.asarray(sc_x), atol=1e-4)
+
+
+def test_prepacked_collection_matches_in_graph_packing():
+    """A precomputed `packed_decode` collection (serving setup,
+    models/roberta.py pack_decode_collection) is bit-identical to the
+    in-graph packing _fused_cache falls back to — same computation, hoisted
+    out of the jitted generate call."""
+    dtype = jnp.bfloat16
+    cfg, dec, variables, enc, ids_tiled, mask_tiled, prompt_mask = _setup(dtype)
+    rb.set_fused_decode("on")
+    ref, cache_r = _run_steps(dec, variables, enc, ids_tiled, mask_tiled,
+                              prompt_mask)
+    packed = rb.pack_decode_collection(variables["params"], cfg, dtype)
+    variables2 = dict(variables)
+    variables2["packed_decode"] = packed
+    got, cache_g = _run_steps(dec, variables2, enc, ids_tiled, mask_tiled,
+                              prompt_mask)
+    for s, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r),
+                                      err_msg=f"step {s}")
+    for k in ("w_head", "w_tail", "b_all"):
+        np.testing.assert_array_equal(np.asarray(cache_g[k]),
+                                      np.asarray(cache_r[k]))
+
+
+def test_prepare_serving_variables_end_to_end():
+    """Prismer-level serving setup: prepare_serving_variables nests the
+    collection under text_decoder and beam_search output is unchanged."""
+    from prismer_tpu.models.generation import beam_search
+    from prismer_tpu.models.prismer import Prismer, prepare_serving_variables
+    from tests.test_models import make_expert_inputs, tiny_vision
+
+    import dataclasses
+
+    rng = np.random.default_rng(3)
+    vis = tiny_vision()
+    dec_cfg = dataclasses.replace(decoder_cfg(), vision_hidden_size=64)
+    cfg = PrismerConfig(vision=vis, decoder=dec_cfg,
+                        prismer_model="prismer_tiny", dtype="float32")
+    model = Prismer(cfg)
+    inputs = make_expert_inputs(rng, vis)
+    ids = jnp.asarray(rng.integers(4, 120, (2, 4)).astype(np.int32))
+    mask = jnp.ones((2, 4), jnp.int32)
+    variables = model.init(jax.random.key(0), inputs, ids, mask)
+    enc = model.apply(variables, inputs, method=Prismer.encode)
+
+    rb.set_fused_decode("on")
+
+    def run(vs):
+        return beam_search(
+            model, vs, enc, ids, mask, num_beams=3, max_length=12,
+            min_length=6, length_penalty=1.0,
+            eos_token_id=cfg.decoder.eos_token_id,
+            pad_token_id=cfg.decoder.pad_token_id)
+
+    seq_plain, sc_plain = jax.jit(run)(variables)
+    vs2 = prepare_serving_variables(model, variables)
+    assert "packed_decode" in vs2 and "text_decoder" in vs2["packed_decode"]
+
+    def run2(vs):  # fresh function object: jax trace cache is identity-keyed
+        return beam_search(
+            model, vs, enc, ids, mask, num_beams=3, max_length=12,
+            min_length=6, length_penalty=1.0,
+            eos_token_id=cfg.decoder.eos_token_id,
+            pad_token_id=cfg.decoder.pad_token_id)
+
+    seq_packed, sc_packed = jax.jit(run2)(vs2)
+    np.testing.assert_array_equal(np.asarray(seq_packed),
+                                  np.asarray(seq_plain))
+    np.testing.assert_allclose(np.asarray(sc_packed), np.asarray(sc_plain),
+                               atol=1e-6)
