@@ -435,10 +435,20 @@ def main():
                          "anyway), LN scales bf16-rounded. An earlier "
                          "'slower' verdict came from the invalid "
                          "(encoder-hoisted) timing.")
+    ap.add_argument("--kv_quant", default="off", choices=["off", "int8"],
+                    help="int8 cross-KV serving mode (fused decode only): "
+                         "halves the dominant per-step decode HBM stream. "
+                         "OFF for the headline — the bf16 path is the "
+                         "parity-pinned spec; quantization error is "
+                         "amax/127 per (layer, sample, head), comparable "
+                         "to bf16 rounding.")
     args = ap.parse_args()
     # PrismerZ configs (experts='none') report under the prismerz_* family
     args.metric_model = (args.model.replace("prismer_", "prismerz_")
                          if args.experts == "none" else args.model)
+    if args.kv_quant != "off":
+        from prismer_tpu.models import roberta as _rb
+        _rb.set_kv_quant(args.kv_quant)
 
     if args.task == "vqa":
         import jax
@@ -608,6 +618,7 @@ def main():
         "tflops_per_sec": round(tflops_per_sec, 2) if tflops_per_sec else None,
         "mfu": round(mfu, 4) if mfu else None,
         "tflops_xla": round(tflops_xla, 2) if tflops_xla else None,
+        "kv_quant": args.kv_quant,
         "harness": "anti-hoisting-v2",
         "note": "not comparable to BENCH_r01 (187.7): that harness let XLA "
                 "hoist the loop-invariant encoder out of the timing scan, "

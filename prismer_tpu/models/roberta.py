@@ -64,6 +64,26 @@ def use_fused_decode() -> bool:
     return _FUSED_DECODE == "on"
 
 
+# int8 cross-KV serving mode (fused decode only): halves the dominant
+# per-step decode HBM stream (the 13 layers re-read the full cross-K/V every
+# step) at a per-(layer, sample, head) symmetric-quantization cost comparable
+# to bf16 rounding (amax/127 vs 2^-8 relative). OFF by default — the bf16
+# path is the parity-pinned spec; opt in for serving via PRISMER_KV_QUANT=int8
+# or set_kv_quant. Read at trace time.
+_KV_QUANT: str = os.environ.get("PRISMER_KV_QUANT", "off")
+
+
+def set_kv_quant(mode: str) -> None:
+    """'int8' | 'off' — must be called before the decode program is traced."""
+    global _KV_QUANT
+    assert mode in ("int8", "off"), mode
+    _KV_QUANT = mode
+
+
+def use_kv_quant() -> bool:
+    return _KV_QUANT == "int8" and use_fused_decode()
+
+
 def pack_decode_collection(decoder_params: Dict[str, Any],
                            cfg: TextDecoderConfig, dtype) -> Dict[str, Any]:
     """Fused-decode packed weight tensors for the `packed_decode` variable
@@ -413,8 +433,17 @@ class RobertaCausalDecoder(nn.Module):
             v.transpose(2, 0, 1, 3).reshape(v.shape[2], v.shape[0], -1)
             for v in vs])
         # ckt (B, H, Dh, L) -> natural (B, H, L, Dh) for the packer
-        kds, vcs = zip(*(pack_cross_cache(ckt.transpose(0, 1, 3, 2), cv)
-                         for ckt, cv in zip(ckts, cvs)))
+        quant = use_kv_quant()
+        packed_cross = [pack_cross_cache(ckt.transpose(0, 1, 3, 2), cv,
+                                         quant=quant)
+                        for ckt, cv in zip(ckts, cvs)]
+        kds = [p[0] for p in packed_cross]
+        vcs = [p[1] for p in packed_cross]
+        extra = {}
+        if quant:
+            # per-layer (B, 1, 128) scale tensors -> (NLc, B, 1, 128)
+            extra = {"cross_ks": jnp.stack([p[2] for p in packed_cross]),
+                     "cross_vs": jnp.stack([p[3] for p in packed_cross])}
         if self.has_variable("packed_decode", "w_head"):
             packed = {k: self.get_variable("packed_decode", k)
                       for k in ("w_head", "w_tail", "b_all")}
@@ -423,7 +452,7 @@ class RobertaCausalDecoder(nn.Module):
                                             self.cfg, self.dtype)
         return {"self_k_tn": self_k, "self_v_tn": self_v,
                 "cross_kd": jnp.stack(kds), "cross_vc": jnp.stack(vcs),
-                **packed}
+                **extra, **packed}
 
     def init_cache(self, input_ids: jax.Array, attention_mask: jax.Array,
                    encoder_hidden_states: jax.Array, max_len: int,
@@ -536,6 +565,7 @@ class RobertaCausalDecoder(nn.Module):
             cache["self_k_tn"], cache["self_v_tn"],
             bias_tn.astype(jnp.float32),
             cache["cross_kd"], cache["cross_vc"],
+            cache.get("cross_ks"), cache.get("cross_vs"),
             heads=c.num_attention_heads, beams=beams, valid_len=cross_len,
             eps=c.layer_norm_eps)
         zero = jnp.zeros((), jnp.int32)

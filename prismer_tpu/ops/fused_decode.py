@@ -169,19 +169,48 @@ def pack_decode_weights(layer_params, output_params, dim: int, mlp_dim: int,
     return w_all, b_all
 
 
-def pack_cross_cache(ck: jax.Array, cv: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-(batch, head) int8 quantization of (B, H, L, Dh) K or V.
+
+    Returns (x_i8 (B, H, L, Dh) int8, scale (B, H) fp32) with
+    dequant = x_i8 * scale. The scale is amax/127 over the (L, Dh) block —
+    one scalar per head per sample per layer, so the kernel can fold it
+    into the tiny per-head query/probability rows instead of rescaling the
+    streamed tensors."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(2, 3))
+    scale = jnp.maximum(amax, 1e-30) / 127.0
+    q = jnp.round(x.astype(jnp.float32) / scale[:, :, None, None])
+    return jnp.clip(q, -127, 127).astype(jnp.int8), scale
+
+
+def _scale_lanes(scale: jax.Array) -> jax.Array:
+    """(B, H) fp32 scales -> (B, 1, 128) lane-padded kernel layout."""
+    b, h = scale.shape
+    return jnp.pad(scale, ((0, 0), (0, 128 - h)))[:, None, :]
+
+
+def pack_cross_cache(ck: jax.Array, cv: jax.Array, quant: bool = False
+                     ) -> Tuple[jax.Array, ...]:
     """(B, H, L, Dh) cross K/V -> kernel layouts.
 
     Returns (kd (B, Dh, H*Lp), vc (B, Lp, H*Dh)) with L zero-padded to a
-    lane-aligned Lp (padding keys are masked in-kernel via the static L)."""
+    lane-aligned Lp (padding keys are masked in-kernel via the static L).
+    With quant=True the big tensors are int8 (halving the dominant decode
+    HBM stream) and two extra (B, 1, 128) fp32 per-head scale tensors are
+    returned: (kd, vc, kscale, vscale)."""
     b, h, l, dh = ck.shape
+    scales = ()
+    if quant:
+        ck, ks = quantize_kv(ck)
+        cv, vs = quantize_kv(cv)
+        scales = (_scale_lanes(ks), _scale_lanes(vs))
     lp = _round_up(l, 128)
     if lp != l:
         pad = ((0, 0), (0, 0), (0, lp - l), (0, 0))
         ck, cv = jnp.pad(ck, pad), jnp.pad(cv, pad)
     kd = ck.transpose(0, 3, 1, 2).reshape(b, dh, h * lp)
     vc = cv.transpose(0, 2, 1, 3).reshape(b, lp, h * dh)
-    return kd, vc
+    return (kd, vc) + scales
 
 
 # ---------------------------------------------------------------------------
@@ -208,11 +237,13 @@ def _ln(x32, scale, bias, eps):
 
 
 def _kernel(hidden0_ref, wh_ref, wt_ref, b_ref, selfk_ref, selfv_ref,
-            bias_tn_ref, crossk_ref, crossv_ref,
-            hidden_out_ref, knew_ref, vnew_ref,
-            h_s, qc_s, co_s, *extra, heads: int, dh: int, nlc: int,
-            batch: int, beams: int, valid_len: int, eps: float, dtype,
-            manual_dma: bool, nl: int):
+            bias_tn_ref, crossk_ref, crossv_ref, *rest, heads: int, dh: int,
+            nlc: int, batch: int, beams: int, valid_len: int, eps: float,
+            dtype, manual_dma: bool, nl: int, quant: bool):
+    if quant:
+        ks_ref, vs_ref = rest[0], rest[1]
+        rest = rest[2:]
+    hidden_out_ref, knew_ref, vnew_ref, h_s, qc_s, co_s, *extra = rest
     i = pl.program_id(0)
     j = pl.program_id(1)
     d = h_s.shape[1]
@@ -384,6 +415,18 @@ def _kernel(hidden0_ref, wh_ref, wt_ref, b_ref, selfk_ref, selfv_ref,
             [qc_s[pl.ds(row0, QP), h * 128:h * 128 + dh]
              for h in range(heads)], axis=0)                # (H*QP, Dh)
         kd = crossk_ref[0, 0]                               # (Dh, H*Lp)
+        if quant:
+            # int8 K: convert to compute dtype and fold the per-head scale
+            # into the TINY q rows (row block h <- k_scale[h]) — never an
+            # elementwise pass over the streamed tensor. Off-diagonal
+            # blocks of s get the wrong scale; they are discarded anyway.
+            kd = kd.astype(dtype)
+            rowi = jax.lax.broadcasted_iota(jnp.int32, (hp8, 1), 0) // QP
+            ksl = ks_ref[0, 0]                              # (1, 128) f32
+            kvec = jnp.full((hp8, 1), ksl[0, 0], f32)
+            for h in range(1, heads):
+                kvec = jnp.where(rowi == h, ksl[0, h], kvec)
+            q = (q.astype(f32) * kvec).astype(dtype)
         s = matmul(q, kd) * scale                           # (H*QP, H*Lp) f32
         row_blk = jax.lax.broadcasted_iota(jnp.int32, (hp8, lp), 0) // QP
         sd = s[:, :lp]
@@ -394,8 +437,21 @@ def _kernel(hidden0_ref, wh_ref, wt_ref, b_ref, selfk_ref, selfv_ref,
             sd = jnp.where(cols < valid_len, sd, NEG_INF)
         m = jnp.max(sd, axis=1, keepdims=True)
         p = jnp.exp(sd - m)
-        pn = (p / jnp.sum(p, axis=1, keepdims=True)).astype(dtype)
-        mm = matmul(pn, crossv_ref[0, 0])                   # (H*QP, H*Dh) f32
+        pn = p / jnp.sum(p, axis=1, keepdims=True)
+        vc = crossv_ref[0, 0]
+        if quant:
+            # int8 V: per-head scale folds into the probability rows (row
+            # block h of pn only ever multiplies head h's V columns in the
+            # block-diagonal extract below)
+            vc = vc.astype(dtype)
+            rowi = jax.lax.broadcasted_iota(jnp.int32, (hp8, 1), 0) // QP
+            vsl = vs_ref[0, 0]                              # (1, 128) f32
+            vvec = jnp.full((hp8, 1), vsl[0, 0], f32)
+            for h in range(1, heads):
+                vvec = jnp.where(rowi == h, vsl[0, h], vvec)
+            pn = pn * vvec
+        pn = pn.astype(dtype)
+        mm = matmul(pn, vc)                                 # (H*QP, H*Dh) f32
         # fold the block diagonal into one full-width (QP, D) row group:
         # sublane slices (8-aligned) + a lane-blocked select chain — no
         # lane-offset slices, then one aligned full-width store
@@ -450,7 +506,10 @@ def fused_decode_step(hidden0: jax.Array, w_head: jax.Array,
                       w_tail: jax.Array, b_all: jax.Array,
                       self_k: jax.Array, self_v: jax.Array,
                       bias_tn: jax.Array, cross_kd: jax.Array,
-                      cross_vc: jax.Array, *, heads: int, beams: int,
+                      cross_vc: jax.Array,
+                      cross_ks: Optional[jax.Array] = None,
+                      cross_vs: Optional[jax.Array] = None,
+                      *, heads: int, beams: int,
                       valid_len: int, eps: float = 1e-5,
                       interpret: Optional[bool] = None
                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -463,6 +522,12 @@ def fused_decode_step(hidden0: jax.Array, w_head: jax.Array,
     encoder length L <= Lp. Returns (hidden_out (N, D), k_new (NL, N, D),
     v_new (NL, N, D)) — the caller writes k_new/v_new into the caches at the
     current column.
+
+    int8 KV mode (PRISMER_KV_QUANT, models/roberta.py): cross_kd/cross_vc
+    are int8 with (NLc, B, 1, 128) fp32 per-head scales cross_ks/cross_vs
+    (pack_cross_cache(quant=True)) — halves the dominant per-step HBM
+    stream; dequantization folds into the tiny per-head q / probability
+    rows in-kernel.
     """
     n, d = hidden0.shape
     nl, t = self_k.shape[0], self_k.shape[1]
@@ -474,6 +539,10 @@ def fused_decode_step(hidden0: jax.Array, w_head: jax.Array,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     dtype = hidden0.dtype
+    quant = cross_kd.dtype == jnp.int8
+    if quant:
+        assert cross_ks is not None and cross_vs is not None, \
+            "int8 cross-KV needs the per-head scale tensors"
 
     def cross_idx(i, j):
         layer = jnp.minimum(i, nlc - 1)
@@ -491,7 +560,7 @@ def fused_decode_step(hidden0: jax.Array, w_head: jax.Array,
     kern = functools.partial(
         _kernel, heads=heads, dh=dh, nlc=nlc, batch=b, beams=beams,
         valid_len=valid_len, eps=eps, dtype=dtype, manual_dma=manual_dma,
-        nl=nl)
+        nl=nl, quant=quant)
 
     assert w_head.shape[2] == 5 * d, w_head.shape
     f = (w_tail.shape[2] - 3 * d) // 2
@@ -546,7 +615,8 @@ def fused_decode_step(hidden0: jax.Array, w_head: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, lp, d), cross_idx,
                          memory_space=pltpu.VMEM),
-        ],
+        ] + ([pl.BlockSpec((1, 1, 1, 128), cross_idx,
+                           memory_space=pltpu.VMEM)] * 2 if quant else []),
         out_specs=[
             pl.BlockSpec((n, d), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -577,5 +647,5 @@ def fused_decode_step(hidden0: jax.Array, w_head: jax.Array,
         ),
         interpret=interpret,
     )(hidden0, w_head, w_tail, b_all[:, None, :], self_k, self_v, bias_tn,
-      cross_kd, cross_vc)
+      cross_kd, cross_vc, *((cross_ks, cross_vs) if quant else ()))
     return out[0], out[1], out[2]

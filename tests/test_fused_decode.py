@@ -235,3 +235,115 @@ def test_prepare_serving_variables_end_to_end():
                                   np.asarray(seq_plain))
     np.testing.assert_allclose(np.asarray(sc_packed), np.asarray(sc_plain),
                                atol=1e-6)
+
+
+def _quant_dequant_cache(cache):
+    """Quantize-dequantize the XLA cache's cross K/V with the kernel's exact
+    per-(layer, sample, head) scheme (ops/fused_decode.quantize_kv) — the
+    reference numerics for the int8 fused path."""
+    from prismer_tpu.ops.fused_decode import quantize_kv
+    ckt = cache["cross_kt"]                    # (NLc, B, H, Dh, L)
+    cv = cache["cross_v"]                      # (NLc, B, H, L, Dh)
+    new_kt, new_v = [], []
+    for l in range(ckt.shape[0]):
+        ck = ckt[l].transpose(0, 1, 3, 2)      # (B, H, L, Dh)
+        ki, ks = quantize_kv(ck)
+        ck_dq = ki.astype(jnp.float32) * ks[:, :, None, None]
+        new_kt.append(ck_dq.transpose(0, 1, 3, 2))
+        vi, vs = quantize_kv(cv[l])
+        new_v.append(vi.astype(jnp.float32) * vs[:, :, None, None])
+    return dict(cache, cross_kt=jnp.stack(new_kt).astype(ckt.dtype),
+                cross_v=jnp.stack(new_v).astype(cv.dtype))
+
+
+def _run_steps_cache_hook(dec, variables, enc, ids_tiled, mask_tiled,
+                          prompt_mask, cache_hook, n_steps=4, seed=7):
+    """_run_steps with a post-init_cache hook over the cache pytree."""
+    rng = np.random.default_rng(seed)
+    logits0, cache = dec.apply(variables, ids_tiled, mask_tiled, enc, T, K,
+                               method=RobertaCausalDecoder.init_cache)
+    cache = cache_hook(cache)
+    outs = [logits0]
+    prompt_nonpad = jnp.sum(prompt_mask, axis=1).astype(jnp.int32)
+    for s in range(n_steps):
+        index = jnp.asarray(P + s, jnp.int32)
+        tokens = jnp.asarray(rng.integers(4, 120, (N,)).astype(np.int32))
+        pos = (prompt_nonpad[:, None] + s + 1 + 1)
+        pos = jnp.broadcast_to(pos, (B, K)).reshape(-1)
+        positions = jnp.arange(T)[None, :]
+        key_mask_b = jnp.where(
+            positions < P, jnp.pad(prompt_mask, ((0, 0), (0, T - P))),
+            (positions <= index).astype(prompt_mask.dtype))
+        key_mask = jnp.repeat(key_mask_b, K, axis=0)
+        step_logits, cache = dec.apply(
+            variables, tokens, index, pos, key_mask, cache, K, L_ENC,
+            method=RobertaCausalDecoder.decode_step)
+        outs.append(step_logits)
+    return outs, cache
+
+
+@pytest.mark.parametrize("dtype,atol", [(jnp.float32, 3e-4),
+                                        (jnp.bfloat16, 0.15)])
+def test_kv_quant_matches_dequantized_xla(dtype, atol):
+    """int8 cross-KV fused decode == the XLA path run on quantize-dequantized
+    cross K/V (isolates kernel correctness from the quantization error, which
+    is part of the mode's spec)."""
+    cfg, dec, variables, enc, ids_tiled, mask_tiled, prompt_mask = _setup(dtype)
+    rb.set_fused_decode("off")
+    ref, _ = _run_steps_cache_hook(dec, variables, enc, ids_tiled,
+                                   mask_tiled, prompt_mask,
+                                   _quant_dequant_cache)
+    rb.set_fused_decode("on")
+    rb.set_kv_quant("int8")
+    try:
+        got, cache_f = _run_steps(dec, variables, enc, ids_tiled, mask_tiled,
+                                  prompt_mask)
+    finally:
+        rb.set_kv_quant("off")
+    assert cache_f["cross_kd"].dtype == jnp.int8
+    assert cache_f["cross_vc"].dtype == jnp.int8
+    assert cache_f["cross_ks"].shape == (cfg.num_hidden_layers, B, 1, 128)
+    for s, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(r, np.float32),
+            atol=atol, rtol=atol, err_msg=f"step {s}")
+
+
+def test_kv_quant_beam_search_smoke():
+    """End-to-end beam search in int8-KV mode: runs, finite scores, valid
+    token ids (sequence-level agreement with bf16 is not guaranteed by the
+    mode's spec — quantization error can flip near-ties)."""
+    from prismer_tpu.models.generation import beam_search
+    from prismer_tpu.models.prismer import Prismer
+    from tests.test_models import make_expert_inputs, tiny_vision
+
+    import dataclasses
+
+    rng = np.random.default_rng(5)
+    vis = tiny_vision()
+    dec_cfg = dataclasses.replace(decoder_cfg(), vision_hidden_size=64)
+    cfg = PrismerConfig(vision=vis, decoder=dec_cfg,
+                        prismer_model="prismer_tiny", dtype="float32")
+    model = Prismer(cfg)
+    inputs = make_expert_inputs(rng, vis)
+    ids = jnp.asarray(rng.integers(4, 120, (2, 4)).astype(np.int32))
+    mask = jnp.ones((2, 4), jnp.int32)
+    variables = model.init(jax.random.key(0), inputs, ids, mask)
+    enc = model.apply(variables, inputs, method=Prismer.encode)
+
+    rb.set_fused_decode("on")
+    rb.set_kv_quant("int8")
+    try:
+        def run():
+            return beam_search(
+                model, variables, enc, ids, mask, num_beams=3, max_length=12,
+                min_length=6, length_penalty=1.0,
+                eos_token_id=cfg.decoder.eos_token_id,
+                pad_token_id=cfg.decoder.pad_token_id)
+        seqs, scores = jax.jit(run)()
+    finally:
+        rb.set_kv_quant("off")
+    assert seqs.shape == (2, 12)
+    assert np.isfinite(np.asarray(scores)).all()
+    assert (np.asarray(seqs) >= 0).all()
+    assert (np.asarray(seqs) < 128).all()
