@@ -61,21 +61,21 @@ def save_rel_path(img_path: str) -> Tuple[str, str]:
 
 def run_depth(args):
     apply_fn, variables, preprocess = load_expert_model(
-        "depth", image_size=args.image_size)
+        "depth", image_size=getattr(args, "image_size", 480))
     _run_dense(args, "depth", apply_fn, variables, preprocess,
                postprocess=_depth_post)
 
 
 def run_normal(args):
     apply_fn, variables, preprocess = load_expert_model(
-        "normal", image_size=args.image_size)
+        "normal", image_size=getattr(args, "image_size", 480))
     _run_dense(args, "normal", apply_fn, variables, preprocess,
                postprocess=_normal_post)
 
 
 def run_edge(args):
     apply_fn, variables, preprocess = load_expert_model(
-        "edge", image_size=args.image_size)
+        "edge", image_size=getattr(args, "image_size", 480))
     _run_dense(args, "edge", apply_fn, variables, preprocess,
                postprocess=_edge_post)
 
@@ -137,7 +137,7 @@ def run_segmentation(args, task):
     import jax.numpy as jnp
 
     apply_fn, variables, preprocess = load_expert_model(
-        task, image_size=args.image_size)
+        task, image_size=getattr(args, "image_size", 480))
     save_root = os.path.join(args.save_path, task)
     files = list_images(args.data_path)[args.shard_id::args.num_shards]
     bs = args.batch_size
@@ -171,7 +171,7 @@ def run_objdet(args):
     from prismer_tpu.experts.objdet_postprocess import occlusion_ordered_mask
 
     model, variables, preprocess = load_expert_model(
-        "obj_detection", image_size=args.image_size)
+        "obj_detection", image_size=getattr(args, "image_size", 480))
     save_root = os.path.join(args.save_path, "obj_detection")
     depth_root = os.path.join(args.save_path, "depth")
     files = list_images(args.data_path)[args.shard_id::args.num_shards]
@@ -218,7 +218,7 @@ def run_ocr(args):
         OrientedTextPostProcessing
 
     apply_fn, variables, preprocess = load_expert_model(
-        "ocr_detection", image_size=args.image_size)
+        "ocr_detection", image_size=getattr(args, "image_size", 480))
     post = OrientedTextPostProcessing()
     tables = get_feature_tables()
     clip_ctx = load_clip_text()
