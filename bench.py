@@ -400,10 +400,11 @@ def main():
     ap.add_argument("--batch", type=int, default=None,
                     help="single batch size (overrides --batches)")
     ap.add_argument("--batches", type=int, nargs="+",
-                    default=[8, 16, 24, 32],
-                    help="throughput peaks mid-curve: measured 154.9 / "
-                         "171.2 / 173.8 / 170.5 / 160.5 img/s at "
-                         "8/16/24/32/64 (b64 dropped from the sweep)")
+                    default=[16, 24, 32],
+                    help="throughput peaks mid-curve: measured 213.6 / "
+                         "222.6 / 214.0 / 200.6 img/s at 16/24/32/48 "
+                         "post packed-flash + pre-packed decode weights "
+                         "(b8/b48/b64 dropped from the default sweep)")
     ap.add_argument("--model", default="prismer_base")
     ap.add_argument("--experts", default="full", choices=["full", "none"],
                     help="'none' benches the PrismerZ family (RGB-only)")
