@@ -111,6 +111,50 @@ def build_generate_fn(model: Prismer, *, num_beams: int = GEN_NUM_BEAMS,
     return fn
 
 
+def build_sharded_generate_fn(model: Prismer, mesh, *,
+                              num_beams: int = GEN_NUM_BEAMS,
+                              max_length: int = GEN_MAX_LENGTH,
+                              min_length: int = GEN_MIN_LENGTH,
+                              length_penalty: float = 1.0):
+    """Data-parallel serving generate over a device mesh via shard_map.
+
+    GSPMD partitions the XLA decode path fine (tests/test_parallel_
+    generation.py), but the fused whole-step decode kernel
+    (ops/fused_decode.py) is a pallas_call, which GSPMD cannot split:
+    shard_map hands each device its local batch rows and runs the identical
+    single-chip program per shard. No collectives are needed anywhere in
+    the loop — a sample's beams attend only that sample's encoder states,
+    so the computation is embarrassingly parallel over the 'data' axis.
+    The global batch must divide mesh.shape['data']. Variables (including
+    an optional `packed_decode` collection from prepare_serving_variables)
+    are replicated."""
+    import jax as _jax
+    from jax.sharding import PartitionSpec as P
+
+    from prismer_tpu.data.device import materialize_experts
+
+    def local(variables, experts_raw, prompt_ids, prompt_mask):
+        experts = materialize_experts(experts_raw)
+        enc = model.apply(variables, experts, method=Prismer.encode)
+        seqs, _ = beam_search(
+            model, variables, enc, prompt_ids, prompt_mask,
+            num_beams=num_beams, max_length=max_length,
+            min_length=min_length, length_penalty=length_penalty,
+            eos_token_id=model.cfg.decoder.eos_token_id,
+            pad_token_id=model.cfg.decoder.pad_token_id)
+        return seqs
+
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation, which the vma checker (jax>=0.8) rejects; the manual
+    # specs above are the full contract (everything per-shard except the
+    # replicated variables)
+    sharded = _jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data")),
+        out_specs=P("data"), check_vma=False)
+    return _jax.jit(sharded)
+
+
 def build_rank_fn(model: Prismer, *, k_test: int):
     """Jitted encode + two-pass rank inference over raw expert batches."""
     import jax as _jax

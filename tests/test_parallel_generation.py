@@ -72,3 +72,44 @@ def test_rank_inference_data_parallel(setup):
                  shard_batch(mask, mesh))
     got_1 = run(variables, inputs, ids, mask)
     np.testing.assert_array_equal(np.asarray(got_sh), np.asarray(got_1))
+
+
+def test_fused_decode_shard_map_data_parallel(setup):
+    """The fused whole-step decode kernel under shard_map (the multi-chip
+    serving path, models/caption.py build_sharded_generate_fn): each device
+    runs the single-chip pallas program on its local batch rows; output must
+    equal the unsharded fused run exactly."""
+    from prismer_tpu.models import roberta as rb
+    from prismer_tpu.models.caption import build_sharded_generate_fn
+    from prismer_tpu.models.prismer import prepare_serving_variables
+
+    model, cfg, variables, inputs, ids, mask = setup
+    mesh = make_mesh()
+    rb.set_fused_decode("on")
+    try:
+        vs = prepare_serving_variables(model, variables)
+
+        def run_single(v, experts, p, m):
+            from prismer_tpu.data.device import materialize_experts
+            enc = model.apply(v, materialize_experts(experts),
+                              method=Prismer.encode)
+            seqs, _ = beam_search(
+                model, v, enc, p, m, num_beams=3, max_length=10,
+                min_length=5, length_penalty=1.0,
+                eos_token_id=cfg.decoder.eos_token_id,
+                pad_token_id=cfg.decoder.pad_token_id)
+            return seqs
+
+        # raw expert batch: the id-map experts ride as uint8 + tables, the
+        # dense ones as float maps — here the tiny fixtures are already
+        # materialized, so wrap them as the raw dict materialize_experts
+        # passes through
+        experts_raw = inputs
+        seqs_1 = jax.jit(run_single)(vs, experts_raw, ids, mask)
+
+        gen = build_sharded_generate_fn(model, mesh, num_beams=3,
+                                        max_length=10, min_length=5)
+        seqs_sh = gen(vs, experts_raw, ids, mask)
+    finally:
+        rb.set_fused_decode("auto")
+    np.testing.assert_array_equal(np.asarray(seqs_sh), np.asarray(seqs_1))
