@@ -106,14 +106,24 @@ def exact_top_k(x: jax.Array, kk: int,
                     constant_values=jnp.finfo(x.dtype).min)
     x3 = x.reshape(b, nb, block)
     bm = jnp.max(x3, axis=2)                                 # (B, nb)
+    lane = jnp.arange(block)[None, :]                        # (1, block)
+    taken = []                                               # [(jstar, istar)]
     for _ in range(kk):
         jstar = jnp.argmax(bm, axis=1)                       # (B,)
         blk = x3[rows, jstar]                                # (B, block)
+        # x3 is NEVER scattered into (a .at[].set on the (B, W) tensor
+        # copies the full ~150k-lane candidate matrix every round — ~6
+        # full-logit copies per decode step, the dominant top-k cost).
+        # Instead, re-mask the lanes already extracted from THIS block out
+        # of the fresh gather: O(kk^2) tiny (B, block) selects.
+        for jp, ip in taken:
+            blk = jnp.where((jp == jstar)[:, None] & (lane == ip[:, None]),
+                            -jnp.inf, blk)
         istar = jnp.argmax(blk, axis=1)
         vals.append(jnp.take_along_axis(blk, istar[:, None], axis=1)[:, 0])
         idxs.append(jstar * block + istar)
+        taken.append((jstar, istar))
         blk = blk.at[rows, istar].set(-jnp.inf)
-        x3 = x3.at[rows, jstar, istar].set(-jnp.inf)
         bm = bm.at[rows, jstar].set(jnp.max(blk, axis=1))
     return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1).astype(jnp.int32)
 
