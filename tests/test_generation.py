@@ -241,3 +241,46 @@ def test_exact_top_k_block_path_matches_lax_top_k():
     v, i = exact_top_k(xj[:, :5000], 4, block=512)
     v_ref, i_ref = jax.lax.top_k(xj[:, :5000], 4)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_lazy_top_candidates_matches_materialized():
+    """lazy_top_candidates must be bit-identical (values AND flat-index tie
+    order) to materializing alive + log_softmax(logits) with the min-length
+    EOS mask and running lax.top_k — including rounding-collision ties
+    (distinct logits collapsing to equal candidates after the row-constant
+    adds), the clamped tail block, and the masked-EOS lane."""
+    import jax
+    import jax.numpy as jnp
+
+    from prismer_tpu.models.generation import NEG_INF, lazy_top_candidates
+
+    rng = np.random.default_rng(11)
+    b, k, kk, eos = 3, 3, 6, 2
+
+    for v, block, mask in [(5003, 512, True), (5003, 512, False),
+                           (4096, 512, True), (700, 128, False),
+                           (1500, 128, True)]:
+        x = rng.standard_normal((b, k, v)).astype(np.float32) * 3
+        # inject exact ties and near-collisions
+        x[0, 0, 5] = x[0, 0, v // 2] = x[0, 0, v - 1] = x[0, 0].max() + 1.0
+        x[1, 1, 100:110] = x[1, 1].max() + 0.5
+        # large negative alive scores force rounding collapses in the add
+        alive = jnp.asarray(
+            rng.standard_normal((b, k)).astype(np.float32) * 10 - 50)
+        xj = jnp.asarray(x)
+        mask_eos = jnp.asarray(mask)
+
+        logprobs = jax.nn.log_softmax(xj, axis=-1)
+        logprobs = jnp.where(
+            mask_eos & (jnp.arange(v)[None, None, :] == eos),
+            NEG_INF, logprobs)
+        cand = alive[:, :, None] + logprobs
+        ref_v, ref_f = jax.lax.top_k(cand.reshape(b, k * v), kk)
+
+        got_v, got_b, got_t = lazy_top_candidates(xj, alive, kk, eos,
+                                                  mask_eos, block=block)
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v),
+                                      err_msg=f"v={v} mask={mask}")
+        np.testing.assert_array_equal(
+            np.asarray(got_b) * v + np.asarray(got_t), np.asarray(ref_f),
+            err_msg=f"v={v} mask={mask}")

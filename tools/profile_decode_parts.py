@@ -87,6 +87,7 @@ def main():
     orig_lmhead = rb.LMHead.__call__
     orig_topk = jax.lax.top_k
     orig_exact_topk = gen.exact_top_k
+    orig_lazy = gen.lazy_top_candidates
     orig_decode_attend = rb.DecoderLayer.decode_attend
 
     def patch(variant):
@@ -95,6 +96,7 @@ def main():
         rb.LMHead.__call__ = orig_lmhead
         jax.lax.top_k = orig_topk
         gen.exact_top_k = orig_exact_topk
+        gen.lazy_top_candidates = orig_lazy
         rb.DecoderLayer.decode_attend = orig_decode_attend
         if variant == "nolayers":
             rb.DecoderLayer.decode_attend = (
@@ -111,8 +113,16 @@ def main():
                 idx = jnp.broadcast_to(jnp.arange(kk, dtype=jnp.int32),
                                        vals.shape)
                 return vals, idx
+            def fake_lazy(logits, alive, kk, eos, mask_eos, block=1024):
+                b, k, v = logits.shape
+                vals = jax.lax.slice_in_dim(
+                    logits[:, 0, :], 0, kk, axis=-1)
+                idx = jnp.broadcast_to(jnp.arange(kk, dtype=jnp.int32),
+                                       vals.shape)
+                return vals, idx % k, idx
             jax.lax.top_k = fake_topk
             gen.exact_top_k = fake_topk
+            gen.lazy_top_candidates = fake_lazy
         elif variant == "nolmhead":
             def fake_lmhead(self, hidden, word_embeddings):
                 v = self.cfg.vocab_size
