@@ -26,6 +26,7 @@ Everything is batch-first, statically shaped, and usable under jit/pjit.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
@@ -61,6 +62,26 @@ def _gather_beams(x: jax.Array, beam_idx: jax.Array) -> jax.Array:
     """x: (B, K, ...), beam_idx: (B, K) -> reorder along beam dim."""
     return jnp.take_along_axis(
         x, beam_idx.reshape(beam_idx.shape + (1,) * (x.ndim - 2)), axis=1)
+
+
+# Self-cache beam reorder implementation, bound at import (trace-time flag,
+# A/B via separate processes): 'matmul' replaces the per-step XLA gather
+# over the (NL, T, N, D) caches with a 0/1 selector matmul — the same
+# gather->matmul conversion that won 1.6-2.3x in
+# experts/ops/deform_attn_pallas.py. Exact: one 1.0 per output row.
+BEAM_PERM_IMPL = os.environ.get("PRISMER_BEAM_PERM", "gather")
+
+
+def _permute_cache_rows(x: jax.Array, flat_beam: jax.Array) -> jax.Array:
+    """Reorder axis 2 (the N = B*K row axis) of a (NL, T, N, D) cache by
+    flat_beam. 'matmul' mode streams the tensor through the MXU instead of
+    the gather unit; bit-exact (f32 accumulate of a single 1.0*v term,
+    cast back to the storage dtype)."""
+    n = x.shape[2]
+    if BEAM_PERM_IMPL == "matmul":
+        p = (flat_beam[:, None] == jnp.arange(n)[None, :]).astype(x.dtype)
+        return jnp.einsum("nm,ltmd->ltnd", p, x)
+    return jnp.take(x, flat_beam, axis=2)
 
 
 def exact_top_k(x: jax.Array, kk: int,
@@ -333,8 +354,10 @@ def beam_search(model: Prismer, variables: Dict[str, Any],
         if "self_k_tn" in st.cache:  # fused layout (NL, T, N, D): N = axis 2
             cache = dict(
                 st.cache,
-                self_k_tn=jnp.take(st.cache["self_k_tn"], flat_beam, axis=2),
-                self_v_tn=jnp.take(st.cache["self_v_tn"], flat_beam, axis=2))
+                self_k_tn=_permute_cache_rows(st.cache["self_k_tn"],
+                                              flat_beam),
+                self_v_tn=_permute_cache_rows(st.cache["self_v_tn"],
+                                              flat_beam))
         else:
             cache = dict(
                 st.cache,

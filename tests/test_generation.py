@@ -284,3 +284,22 @@ def test_lazy_top_candidates_matches_materialized():
         np.testing.assert_array_equal(
             np.asarray(got_b) * v + np.asarray(got_t), np.asarray(ref_f),
             err_msg=f"v={v} mask={mask}")
+
+
+def test_permute_cache_rows_matmul_exact():
+    """The 0/1-selector-matmul beam reorder must equal the gather exactly
+    (bf16 and fp32 caches, arbitrary within-group permutations)."""
+    from prismer_tpu.models import generation as gen
+
+    rng = np.random.default_rng(13)
+    x32 = jnp.asarray(rng.standard_normal((3, 5, 6, 16)).astype(np.float32))
+    for x in (x32, x32.astype(jnp.bfloat16)):
+        flat = jnp.asarray(rng.integers(0, 6, (6,)).astype(np.int32))
+        ref = jnp.take(x, flat, axis=2)
+        old = gen.BEAM_PERM_IMPL
+        gen.BEAM_PERM_IMPL = "matmul"
+        try:
+            got = gen._permute_cache_rows(x, flat)
+        finally:
+            gen.BEAM_PERM_IMPL = old
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
