@@ -87,7 +87,8 @@ def prepare_serving_variables(model: Prismer,
         return variables
     dtype = _DTYPES[model.cfg.dtype]
     packed = pack_decode_collection(
-        variables["params"]["text_decoder"], model.cfg.decoder, dtype)
+        variables["params"]["text_decoder"], model.cfg.decoder, dtype,
+        with_emb_t=True)
     out = dict(variables)
     out["packed_decode"] = {"text_decoder": packed}
     return out

@@ -85,7 +85,8 @@ def use_kv_quant() -> bool:
 
 
 def pack_decode_collection(decoder_params: Dict[str, Any],
-                           cfg: TextDecoderConfig, dtype) -> Dict[str, Any]:
+                           cfg: TextDecoderConfig, dtype,
+                           with_emb_t: bool = False) -> Dict[str, Any]:
     """Fused-decode packed weight tensors for the `packed_decode` variable
     collection: {"w_head", "w_tail", "b_all"} (layouts in the
     ops/fused_decode.py module docstring).
@@ -105,8 +106,15 @@ def pack_decode_collection(decoder_params: Dict[str, Any],
     d = cfg.hidden_size
     # head/tail column split materialized once: BlockSpecs can only address
     # block-aligned offsets, so the kernel takes two tensors
-    return {"w_head": w_all[:, :, :5 * d], "w_tail": w_all[:, :, 5 * d:],
-            "b_all": b_all}
+    out = {"w_head": w_all[:, :, :5 * d], "w_tail": w_all[:, :, 5 * d:],
+           "b_all": b_all}
+    if with_emb_t:
+        # pre-transposed (D, V) tied embeddings for the LM head — serving
+        # setup only (the in-graph _fused_cache fallback must not pay a
+        # per-call 77 MB transpose)
+        we = decoder_params["embeddings"]["word_embeddings"]
+        out["emb_t"] = jnp.asarray(we, dtype).T
+    return out
 
 
 def create_position_ids(input_ids: jax.Array, attention_mask: jax.Array,
@@ -365,13 +373,21 @@ class LMHead(nn.Module):
         self.bias = self.param("bias", nn.initializers.zeros,
                                (self.cfg.vocab_size,), jnp.float32)
 
-    def __call__(self, hidden: jax.Array, word_embeddings: jax.Array) -> jax.Array:
+    def __call__(self, hidden: jax.Array, word_embeddings: jax.Array,
+                 emb_t: Optional[jax.Array] = None) -> jax.Array:
         h = self.ln(gelu_exact(self.dense(hidden)))
         # compute-dtype inputs, fp32 MXU accumulation (the reference runs
         # this projection under fp16 AMP, train_caption.py:39)
-        logits = jnp.einsum("bld,vd->blv", h.astype(self.dtype),
-                            word_embeddings.astype(self.dtype),
-                            preferred_element_type=jnp.float32)
+        if emb_t is not None:
+            # serving: pre-transposed (D, V) tied embeddings from the
+            # packed_decode collection — no (V, D) relayout work inside the
+            # decode loop; same contraction, same fp32 accumulation
+            logits = jnp.einsum("bld,dv->blv", h.astype(self.dtype), emb_t,
+                                preferred_element_type=jnp.float32)
+        else:
+            logits = jnp.einsum("bld,vd->blv", h.astype(self.dtype),
+                                word_embeddings.astype(self.dtype),
+                                preferred_element_type=jnp.float32)
         return logits + self.bias[None, None, :]
 
 
@@ -412,6 +428,13 @@ class RobertaCausalDecoder(nn.Module):
             hidden = layer(hidden, attention_mask, enc, train)
         hidden = self.output_layer(hidden, attention_mask, None, train)
         return self.lm_head(hidden, self.embeddings.word_embeddings)
+
+    def _serving_emb_t(self) -> Optional[jax.Array]:
+        """Pre-transposed (D, V) tied embeddings from the serving-setup
+        packed_decode collection (None outside serving mode)."""
+        if self.has_variable("packed_decode", "emb_t"):
+            return self.get_variable("packed_decode", "emb_t")
+        return None
 
     # -- cached decode ------------------------------------------------------
     def _fused_cache(self, kts, vs, ckts, cvs) -> Cache:
@@ -485,7 +508,9 @@ class RobertaCausalDecoder(nn.Module):
         kts.append(kt)
         vs.append(v)
 
-        logits = self.lm_head(hidden[:, -1:, :], self.embeddings.word_embeddings)
+        logits = self.lm_head(hidden[:, -1:, :],
+                              self.embeddings.word_embeddings,
+                              emb_t=self._serving_emb_t())
         if use_fused_decode():
             return logits[:, 0, :], self._fused_cache(kts, vs, ckts, cvs)
         cache = {
@@ -536,7 +561,8 @@ class RobertaCausalDecoder(nn.Module):
             hidden = layer.decode_attend(hidden, self_kt[i], self_v[i],
                                          key_bias, cross_kt, cross_v, beams)
 
-        logits = self.lm_head(hidden, self.embeddings.word_embeddings)
+        logits = self.lm_head(hidden, self.embeddings.word_embeddings,
+                              emb_t=self._serving_emb_t())
         cache = dict(cache, self_kt=self_kt, self_v=self_v)
         return logits[:, 0, :], cache
 
@@ -574,7 +600,8 @@ class RobertaCausalDecoder(nn.Module):
         self_v = jax.lax.dynamic_update_slice(
             cache["self_v_tn"], v_new[:, None], (zero, index, zero, zero))
         logits = self.lm_head(hidden_out[:, None, :],
-                              self.embeddings.word_embeddings)
+                              self.embeddings.word_embeddings,
+                              emb_t=self._serving_emb_t())
         return logits[:, 0, :], dict(cache, self_k_tn=self_k,
                                      self_v_tn=self_v)
 
