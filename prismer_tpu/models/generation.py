@@ -443,8 +443,11 @@ def rank_answers(model: Prismer, variables: Dict[str, Any],
     targets = jnp.where(full_ids == pad_token_id, -100, full_ids)
     targets = targets.at[:, :p].set(-100)
 
-    enc_tiled = jnp.repeat(encoder_hidden_states, k_test, axis=0)
-    out_logits = model.apply(variables, full_ids, full_mask, enc_tiled,
+    # encoder states stay UNTILED: cross-K/V are projected once per sample
+    # and broadcast over the k_test candidate rows (attend_grouped_full) —
+    # tiling here re-projected them k_test times (~0.5 TFLOP/sample wasted)
+    out_logits = model.apply(variables, full_ids, full_mask,
+                             encoder_hidden_states, cross_groups=k_test,
                              method=Prismer.decode_logits)
     loss = label_smoothed_loss(out_logits, targets)
     denom = jnp.maximum(num_valid_targets(targets), 1)

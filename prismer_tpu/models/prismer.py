@@ -43,10 +43,16 @@ class Prismer(nn.Module):
 
     def decode_logits(self, input_ids: jax.Array, attention_mask: jax.Array,
                       encoder_hidden_states: jax.Array,
-                      train: bool = False) -> jax.Array:
-        """Full-sequence decoder logits (training / rank scoring)."""
+                      train: bool = False, cross_groups: int = 1) -> jax.Array:
+        """Full-sequence decoder logits (training / rank scoring).
+
+        cross_groups > 1: input rows are G candidates per sample while
+        encoder_hidden_states stays UNTILED (B, L, D) — cross-K/V are
+        projected once per sample (rank pass 2, roberta.py
+        attend_grouped_full)."""
         return self.text_decoder(input_ids, attention_mask,
-                                 encoder_hidden_states, train=train)
+                                 encoder_hidden_states, train=train,
+                                 cross_groups=cross_groups)
 
     def __call__(self, experts: Dict[str, Any], input_ids: jax.Array,
                  attention_mask: jax.Array, train: bool = False) -> jax.Array:

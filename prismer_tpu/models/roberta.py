@@ -214,6 +214,30 @@ class SelfAttentionCore(nn.Module):
         out = out.reshape(b, h_heads, beams, p, dh).transpose(0, 2, 1, 3, 4)
         return merge_heads(out.reshape(n, h_heads, p, dh))
 
+    def attend_grouped_full(self, hidden: jax.Array, kv_source: jax.Array,
+                            groups: int) -> jax.Array:
+        """Full-sequence grouped cross-attention: queries (B*G, P, D)
+        against K/V projected ONCE per sample from kv_source (B, L, D).
+
+        The rank-inference pass 2 scores G = k_test candidate answers per
+        sample; tiling the encoder states G-fold re-projects the cross-K/V
+        G times (~0.5 TFLOP of pure waste per VQA sample at k_test=16) and
+        materializes G copies. Here the per-sample K/V broadcast over the
+        group inside the einsum. Cross-attention in this stack never
+        carries a key mask (encoder states are full-length)."""
+        n, p, d = hidden.shape
+        b = kv_source.shape[0]
+        assert n == b * groups, (n, b, groups)
+        q = self.project_q(hidden)                     # (B*G, H, P, Dh)
+        k, v = self.project_kv(kv_source)              # (B, H, L, Dh)
+        h_heads, dh = q.shape[1], q.shape[3]
+        q = q.reshape(b, groups, h_heads, p, dh)
+        s = jnp.einsum("bghpd,bhld->bghpl", q, k,
+                       preferred_element_type=jnp.float32) / (dh ** 0.5)
+        probs = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bghpl,bhld->bghpd", probs.astype(v.dtype), v)
+        return merge_heads(out.reshape(n, h_heads, p, dh))
+
 
 class AttentionOutput(nn.Module):
     """dense -> dropout -> LayerNorm(residual) (roberta.py:129-140)."""
@@ -269,11 +293,15 @@ class DecoderLayer(nn.Module):
 
     def __call__(self, hidden: jax.Array, attention_mask: jax.Array,
                  encoder_hidden_states: Optional[jax.Array],
-                 train: bool = False) -> jax.Array:
+                 train: bool = False, cross_groups: int = 1) -> jax.Array:
         h = self.self_attn(hidden, hidden, attention_mask, causal=True)
         hidden = self.self_out(h, hidden, train=train)
         if self.with_cross:
-            h = self.cross_attn(hidden, encoder_hidden_states)
+            if cross_groups > 1:
+                h = self.cross_attn.attend_grouped_full(
+                    hidden, encoder_hidden_states, cross_groups)
+            else:
+                h = self.cross_attn(hidden, encoder_hidden_states)
             hidden = self.cross_out(h, hidden, train=train)
             hidden = self.adaptor(hidden)
         return self.mlp(hidden, train=train)
@@ -409,7 +437,7 @@ class RobertaCausalDecoder(nn.Module):
         # __call__ (the training path) is rematerialized per layer to trade
         # FLOPs for HBM; the cached decode methods are untouched.
         # `train` (arg 4 counting self) is a static python bool.
-        layer_cls = nn.remat(DecoderLayer, static_argnums=(4,))
+        layer_cls = nn.remat(DecoderLayer, static_argnums=(4, 5))
         self.layers = [layer_cls(c, with_cross=True, dtype=self.dtype,
                                  name=f"layers_{i}")
                        for i in range(c.num_hidden_layers)]
@@ -419,14 +447,15 @@ class RobertaCausalDecoder(nn.Module):
     # -- full sequence ----------------------------------------------------
     def __call__(self, input_ids: jax.Array, attention_mask: jax.Array,
                  encoder_hidden_states: jax.Array,
-                 train: bool = False) -> jax.Array:
+                 train: bool = False, cross_groups: int = 1) -> jax.Array:
         c = self.cfg
         position_ids = create_position_ids(input_ids, attention_mask, c.pad_token_id)
         hidden = self.embeddings(input_ids, position_ids, train=train)
         enc = encoder_hidden_states.astype(self.dtype)
         for layer in self.layers:
-            hidden = layer(hidden, attention_mask, enc, train)
-        hidden = self.output_layer(hidden, attention_mask, None, train)
+            hidden = layer(hidden, attention_mask, enc, train,
+                           cross_groups)
+        hidden = self.output_layer(hidden, attention_mask, None, train, 1)
         return self.lm_head(hidden, self.embeddings.word_embeddings)
 
     def _serving_emb_t(self) -> Optional[jax.Array]:
