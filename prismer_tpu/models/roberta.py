@@ -214,6 +214,31 @@ class SelfAttentionCore(nn.Module):
         out = out.reshape(b, h_heads, beams, p, dh).transpose(0, 2, 1, 3, 4)
         return merge_heads(out.reshape(n, h_heads, p, dh))
 
+    def attend_grouped_nat(self, hidden: jax.Array, k4: jax.Array,
+                           v4: jax.Array, beams: int,
+                           valid_len: int) -> jax.Array:
+        """Beam-grouped cross-attention over PADDED natural-layout K/V views
+        (B, Lp, H, Dh) — the fused-path prefill consumes the projections'
+        native layout directly, so cross K/V never materialize the
+        head-split (B, H, L, Dh) copies (two full HBM passes per tensor at
+        Prismer-BASE shapes). Padding keys (l >= valid_len) are masked; the
+        masked exp underflows to exactly 0, so values match the unpadded
+        computation."""
+        n, p, d = hidden.shape
+        b, lp = k4.shape[0], k4.shape[1]
+        q = self.project_q(hidden)                     # (B*K, H, P, Dh)
+        h_heads, dh = q.shape[1], q.shape[3]
+        q5 = q.reshape(b, beams, h_heads, p, dh)
+        s = jnp.einsum("bghpd,blhd->bghpl", q5, k4,
+                       preferred_element_type=jnp.float32) / (dh ** 0.5)
+        if valid_len < lp:
+            s = jnp.where(jnp.arange(lp)[None, None, None, None, :]
+                          < valid_len, s, NEG_INF)
+        probs = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bghpl,blhd->bghpd", probs.astype(v4.dtype), v4)
+        out = out.reshape(n, h_heads, p, dh)
+        return merge_heads(out)
+
     def attend_grouped_full(self, hidden: jax.Array, kv_source: jax.Array,
                             groups: int) -> jax.Array:
         """Full-sequence grouped cross-attention: queries (B*G, P, D)
@@ -309,25 +334,42 @@ class DecoderLayer(nn.Module):
     # ---- cached decode paths -------------------------------------------
     def prefill(self, hidden: jax.Array, attention_mask: jax.Array,
                 cross_kt: Optional[jax.Array], cross_v: Optional[jax.Array],
-                max_len: int, beams: int = 1
+                max_len: int, beams: int = 1, cross_nat: bool = False,
+                valid_len: int = 0
                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Full pass over the prompt; returns (hidden, k_cache, v_cache) with
         the prompt K/V written at positions [0, L) of a (B,H,max_len,Dh)
         buffer. hidden may be beam-tiled (B*beams rows) while cross K/V stay
-        per-sample (B rows)."""
+        per-sample (B rows). cross_nat=True: cross_kt/cross_v are padded
+        natural-layout (B, Lp, H, Dh) views with true length valid_len
+        (fused-path prefill, attend_grouped_nat)."""
         q = self.self_attn.project_q(hidden)
         k, v = self.self_attn.project_kv(hidden)
         h = merge_heads(attention(q, k, v, attention_mask, causal=True))
         hidden = self.self_out(h, hidden)
         if self.with_cross:
-            h = self.cross_attn.attend_grouped(hidden, cross_kt, cross_v,
-                                               beams)
+            if cross_nat:
+                h = self.cross_attn.attend_grouped_nat(
+                    hidden, cross_kt, cross_v, beams, valid_len)
+            else:
+                h = self.cross_attn.attend_grouped(hidden, cross_kt,
+                                                   cross_v, beams)
             hidden = self.cross_out(h, hidden)
             hidden = self.adaptor(hidden)
         hidden = self.mlp(hidden)
         pad = [(0, 0), (0, 0), (0, max_len - k.shape[2]), (0, 0)]
         # self-K cached pre-transposed, same layout rationale as cross-K
         return hidden, jnp.pad(k, pad).transpose(0, 1, 3, 2), jnp.pad(v, pad)
+
+    def project_cross_kv_flat(self, encoder_hidden_states: jax.Array
+                              ) -> Tuple[jax.Array, jax.Array]:
+        """Un-head-split cross K/V (B, L, D). The fused-path packer consumes
+        the natural layout directly — V IS the kernel's vc layout after row
+        padding, K needs a single transpose — so the head-split
+        (B, H, L, Dh) intermediates (two extra full copies per tensor) are
+        never built."""
+        return (self.cross_attn.key(encoder_hidden_states),
+                self.cross_attn.value(encoder_hidden_states))
 
     def project_step_kv(self, hidden: jax.Array
                         ) -> Tuple[jax.Array, jax.Array]:
@@ -466,17 +508,18 @@ class RobertaCausalDecoder(nn.Module):
         return None
 
     # -- cached decode ------------------------------------------------------
-    def _fused_cache(self, kts, vs, ckts, cvs) -> Cache:
-        """Convert prefill K/V into the fused-kernel layouts plus the packed
-        per-layer weights (ops/fused_decode.py module docstring). Weights are
-        packed ONCE per generate call and ride in the cache dict — repacking
-        per step would re-stream ~2x the weight bytes. If the caller supplied
-        a precomputed `packed_decode` variable collection (see
-        pack_decode_collection / prismer.prepare_serving_variables), the
+    def _fused_cache(self, kts, vs, kds, vcs, kss, vss) -> Cache:
+        """Assemble the fused-kernel cache: re-lay the prefill self K/V,
+        stack the per-layer cross tensors (already in kernel layout — built
+        straight from the natural projections in init_cache), and attach the
+        packed per-layer weights (ops/fused_decode.py module docstring).
+        Weights are packed ONCE per generate call and ride in the cache dict
+        — repacking per step would re-stream ~2x the weight bytes. If the
+        caller supplied a precomputed `packed_decode` variable collection
+        (pack_decode_collection / prismer.prepare_serving_variables), the
         in-graph packing is skipped entirely: packing is a pure layout
         transform of static params that XLA cannot hoist across calls and
         costs ~5 ms per b32 generate."""
-        from prismer_tpu.ops.fused_decode import pack_cross_cache
         # kt (N, H, Dh, T) -> (T, N, D); v (N, H, T, Dh) -> (T, N, D)
         self_k = jnp.stack([
             kt.transpose(3, 0, 1, 2).reshape(kt.shape[3], kt.shape[0], -1)
@@ -484,18 +527,11 @@ class RobertaCausalDecoder(nn.Module):
         self_v = jnp.stack([
             v.transpose(2, 0, 1, 3).reshape(v.shape[2], v.shape[0], -1)
             for v in vs])
-        # ckt (B, H, Dh, L) -> natural (B, H, L, Dh) for the packer
-        quant = use_kv_quant()
-        packed_cross = [pack_cross_cache(ckt.transpose(0, 1, 3, 2), cv,
-                                         quant=quant)
-                        for ckt, cv in zip(ckts, cvs)]
-        kds = [p[0] for p in packed_cross]
-        vcs = [p[1] for p in packed_cross]
         extra = {}
-        if quant:
+        if kss:
             # per-layer (B, 1, 128) scale tensors -> (NLc, B, 1, 128)
-            extra = {"cross_ks": jnp.stack([p[2] for p in packed_cross]),
-                     "cross_vs": jnp.stack([p[3] for p in packed_cross])}
+            extra = {"cross_ks": jnp.stack(kss),
+                     "cross_vs": jnp.stack(vss)}
         if self.has_variable("packed_decode", "w_head"):
             packed = {k: self.get_variable("packed_decode", k)
                       for k in ("w_head", "w_tail", "b_all")}
@@ -523,14 +559,45 @@ class RobertaCausalDecoder(nn.Module):
         hidden = self.embeddings(input_ids, position_ids)
         enc = encoder_hidden_states.astype(self.dtype)
 
-        kts, vs, ckts, cvs = [], [], [], []
+        fused = use_fused_decode()
+        quant = use_kv_quant()
+        kts, vs = [], []
+        ckts, cvs = [], []          # XLA path: head-split layouts
+        kds, vcs, kss, vss = [], [], [], []  # fused path: kernel layouts
         for layer in self.layers:
-            ck, cv = layer.project_cross_kv(enc)
-            ckt = ck.transpose(0, 1, 3, 2)  # (B, H, Dh, L) — see
-            ckts.append(ckt)                # attend_grouped layout note
-            cvs.append(cv)
-            hidden, kt, v = layer.prefill(hidden, attention_mask, ckt, cv,
-                                          max_len, beams)
+            if fused:
+                # natural-layout path: V IS the kernel's vc layout after
+                # row padding; K takes ONE transpose; the head-split
+                # (B, H, L, Dh) intermediates (two extra full HBM passes
+                # per tensor) are never materialized
+                from prismer_tpu.ops.fused_decode import (_round_up,
+                                                          _scale_lanes,
+                                                          quantize_kv_nat)
+                k_nat, v_nat = layer.project_cross_kv_flat(enc)
+                b_, l_, d_ = k_nat.shape
+                lp = _round_up(l_, 128)
+                heads, dh = c.num_attention_heads, c.head_dim
+                rpad = ((0, 0), (0, lp - l_), (0, 0))
+                k4 = jnp.pad(k_nat, rpad).reshape(b_, lp, heads, dh)
+                v4 = jnp.pad(v_nat, rpad).reshape(b_, lp, heads, dh)
+                hidden, kt, v = layer.prefill(
+                    hidden, attention_mask, k4, v4, max_len, beams,
+                    cross_nat=True, valid_len=l_)
+                if quant:
+                    k4, ks = quantize_kv_nat(k4)
+                    v4, vsc = quantize_kv_nat(v4)
+                    kss.append(_scale_lanes(ks))
+                    vss.append(_scale_lanes(vsc))
+                kds.append(k4.transpose(0, 3, 2, 1).reshape(b_, dh,
+                                                            heads * lp))
+                vcs.append(v4.reshape(b_, lp, d_))
+            else:
+                ck, cv = layer.project_cross_kv(enc)
+                ckt = ck.transpose(0, 1, 3, 2)  # (B, H, Dh, L) — see
+                ckts.append(ckt)                # attend_grouped layout note
+                cvs.append(cv)
+                hidden, kt, v = layer.prefill(hidden, attention_mask, ckt,
+                                              cv, max_len, beams)
             kts.append(kt)
             vs.append(v)
         hidden, kt, v = self.output_layer.prefill(hidden, attention_mask, None, None, max_len)
@@ -540,8 +607,9 @@ class RobertaCausalDecoder(nn.Module):
         logits = self.lm_head(hidden[:, -1:, :],
                               self.embeddings.word_embeddings,
                               emb_t=self._serving_emb_t())
-        if use_fused_decode():
-            return logits[:, 0, :], self._fused_cache(kts, vs, ckts, cvs)
+        if fused:
+            return logits[:, 0, :], self._fused_cache(kts, vs, kds, vcs,
+                                                      kss, vss)
         cache = {
             "self_kt": jnp.stack(kts), "self_v": jnp.stack(vs),
             "cross_kt": jnp.stack(ckts), "cross_v": jnp.stack(cvs),

@@ -189,28 +189,24 @@ def _scale_lanes(scale: jax.Array) -> jax.Array:
     return jnp.pad(scale, ((0, 0), (0, 128 - h)))[:, None, :]
 
 
-def pack_cross_cache(ck: jax.Array, cv: jax.Array, quant: bool = False
-                     ) -> Tuple[jax.Array, ...]:
-    """(B, H, L, Dh) cross K/V -> kernel layouts.
+def quantize_kv_nat(x4: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """quantize_kv for the natural-layout (B, Lp, H, Dh) view (the fused
+    init_cache path builds kd/vc straight from the un-head-split
+    projections). Same per-(batch, head) amax/127 scheme — zero pad rows
+    never move the amax, so values match pad-after-quantize bitwise."""
+    amax = jnp.max(jnp.abs(x4.astype(jnp.float32)), axis=(1, 3))
+    scale = jnp.maximum(amax, 1e-30) / 127.0
+    q = jnp.round(x4.astype(jnp.float32) / scale[:, None, :, None])
+    return jnp.clip(q, -127, 127).astype(jnp.int8), scale
 
-    Returns (kd (B, Dh, H*Lp), vc (B, Lp, H*Dh)) with L zero-padded to a
-    lane-aligned Lp (padding keys are masked in-kernel via the static L).
-    With quant=True the big tensors are int8 (halving the dominant decode
-    HBM stream) and two extra (B, 1, 128) fp32 per-head scale tensors are
-    returned: (kd, vc, kscale, vscale)."""
-    b, h, l, dh = ck.shape
-    scales = ()
-    if quant:
-        ck, ks = quantize_kv(ck)
-        cv, vs = quantize_kv(cv)
-        scales = (_scale_lanes(ks), _scale_lanes(vs))
-    lp = _round_up(l, 128)
-    if lp != l:
-        pad = ((0, 0), (0, 0), (0, lp - l), (0, 0))
-        ck, cv = jnp.pad(ck, pad), jnp.pad(cv, pad)
-    kd = ck.transpose(0, 3, 1, 2).reshape(b, dh, h * lp)
-    vc = cv.transpose(0, 2, 1, 3).reshape(b, lp, h * dh)
-    return (kd, vc) + scales
+
+# Kernel cross-cache layouts (built by models/roberta.py init_cache straight
+# from the un-head-split projections — V is the vc layout after row padding,
+# K takes one transpose):
+#   kd (B, Dh, H*Lp)  kd[b, dh, h*Lp + l] = K[b, l, h*Dh + dh]
+#   vc (B, Lp, H*Dh)  vc[b, l, :] = V[b, l, :]
+# with L zero-padded to lane-aligned Lp (padding keys masked in-kernel via
+# the static valid_len). int8 mode adds (B, 1, 128) fp32 per-head scales.
 
 
 # ---------------------------------------------------------------------------
@@ -525,7 +521,7 @@ def fused_decode_step(hidden0: jax.Array, w_head: jax.Array,
 
     int8 KV mode (PRISMER_KV_QUANT, models/roberta.py): cross_kd/cross_vc
     are int8 with (NLc, B, 1, 128) fp32 per-head scales cross_ks/cross_vs
-    (pack_cross_cache(quant=True)) — halves the dominant per-step HBM
+    (quantize_kv_nat) — halves the dominant per-step HBM
     stream; dequantization folds into the tiny per-head q / probability
     rows in-kernel.
     """
