@@ -113,3 +113,39 @@ def test_fused_decode_shard_map_data_parallel(setup):
     finally:
         rb.set_fused_decode("auto")
     np.testing.assert_array_equal(np.asarray(seqs_sh), np.asarray(seqs_1))
+
+
+def test_fused_int8_kv_shard_map(setup):
+    """int8 cross-KV serving mode composes with the shard_map multi-chip
+    path: per-shard quantization scales are per (layer, sample, head), so
+    sharded output must equal the unsharded int8 run exactly."""
+    from prismer_tpu.models import roberta as rb
+    from prismer_tpu.models.caption import build_sharded_generate_fn
+    from prismer_tpu.models.prismer import prepare_serving_variables
+
+    model, cfg, variables, inputs, ids, mask = setup
+    mesh = make_mesh()
+    rb.set_fused_decode("on")
+    rb.set_kv_quant("int8")
+    try:
+        vs = prepare_serving_variables(model, variables)
+
+        def run_single(v, experts, p, m):
+            from prismer_tpu.data.device import materialize_experts
+            enc = model.apply(v, materialize_experts(experts),
+                              method=Prismer.encode)
+            seqs, _ = beam_search(
+                model, v, enc, p, m, num_beams=3, max_length=10,
+                min_length=5, length_penalty=1.0,
+                eos_token_id=cfg.decoder.eos_token_id,
+                pad_token_id=cfg.decoder.pad_token_id)
+            return seqs
+
+        seqs_1 = jax.jit(run_single)(vs, inputs, ids, mask)
+        gen = build_sharded_generate_fn(model, mesh, num_beams=3,
+                                        max_length=10, min_length=5)
+        seqs_sh = gen(vs, inputs, ids, mask)
+    finally:
+        rb.set_kv_quant("off")
+        rb.set_fused_decode("auto")
+    np.testing.assert_array_equal(np.asarray(seqs_sh), np.asarray(seqs_1))
