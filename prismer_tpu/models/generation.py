@@ -68,8 +68,15 @@ def _gather_beams(x: jax.Array, beam_idx: jax.Array) -> jax.Array:
 # A/B via separate processes): 'matmul' replaces the per-step XLA gather
 # over the (NL, T, N, D) caches with a 0/1 selector matmul — the same
 # gather->matmul conversion that won 1.6-2.3x in
-# experts/ops/deform_attn_pallas.py. Exact: one 1.0 per output row.
-BEAM_PERM_IMPL = os.environ.get("PRISMER_BEAM_PERM", "gather")
+# experts/ops/deform_attn_pallas.py. 'kernel' (fused decode path only)
+# folds the reorder into the fused decode kernel, which already streams
+# every self K/V tile through VMEM — the separate reorder op disappears
+# entirely (ops/fused_decode.py flat_beam). All modes are exact: one 1.0
+# per output row. Same-session b24 e2e A/B (2026-08-18): kernel 180.2 vs
+# gather 177.6 vs matmul 176.5 img/s (isolated, the reorder op runs at
+# only 108-137 GB/s — tools/bench_beam_perm.py); kernel is the default,
+# and the non-fused cache layout always uses the gather.
+BEAM_PERM_IMPL = os.environ.get("PRISMER_BEAM_PERM", "kernel")
 
 
 def _permute_cache_rows(x: jax.Array, flat_beam: jax.Array) -> jax.Array:
@@ -351,13 +358,21 @@ def beam_search(model: Prismer, variables: Dict[str, Any],
         # multi-hundred-MB no-op every step)
         flat_beam = (new_alive_beam
                      + jnp.arange(b)[:, None] * k).reshape(-1)  # (B*K,)
+        perm = None
         if "self_k_tn" in st.cache:  # fused layout (NL, T, N, D): N = axis 2
-            cache = dict(
-                st.cache,
-                self_k_tn=_permute_cache_rows(st.cache["self_k_tn"],
-                                              flat_beam),
-                self_v_tn=_permute_cache_rows(st.cache["self_v_tn"],
-                                              flat_beam))
+            if BEAM_PERM_IMPL == "kernel":
+                # fold the reorder into the fused decode kernel, which
+                # already holds every (T, N, D) tile in VMEM for the
+                # attention read (ops/fused_decode.py flat_beam)
+                cache = st.cache
+                perm = flat_beam
+            else:
+                cache = dict(
+                    st.cache,
+                    self_k_tn=_permute_cache_rows(st.cache["self_k_tn"],
+                                                  flat_beam),
+                    self_v_tn=_permute_cache_rows(st.cache["self_v_tn"],
+                                                  flat_beam))
         else:
             cache = dict(
                 st.cache,
@@ -377,7 +392,7 @@ def beam_search(model: Prismer, variables: Dict[str, Any],
 
         step_logits, cache = model.apply(
             variables, new_tokens.reshape(-1), st.index, pos_ids,
-            key_mask, cache, k, encoder_hidden_states.shape[1],
+            key_mask, cache, k, encoder_hidden_states.shape[1], perm,
             method=Prismer.decode_step)
 
         return BeamState(

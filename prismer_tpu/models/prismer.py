@@ -71,10 +71,11 @@ class Prismer(nn.Module):
     def decode_step(self, token_ids: jax.Array, index: jax.Array,
                     position_ids: jax.Array, key_mask: jax.Array,
                     cache: Cache, beams: int = 1,
-                    cross_len: int = None) -> Tuple[jax.Array, Cache]:
+                    cross_len: int = None,
+                    perm: jax.Array = None) -> Tuple[jax.Array, Cache]:
         return self.text_decoder.decode_step(
             token_ids, index, position_ids, key_mask, cache, beams=beams,
-            cross_len=cross_len)
+            cross_len=cross_len, perm=perm)
 
 
 def prepare_serving_variables(model: Prismer,

@@ -619,7 +619,8 @@ class RobertaCausalDecoder(nn.Module):
     def decode_step(self, token_ids: jax.Array, index: jax.Array,
                     position_ids: jax.Array, key_mask: jax.Array,
                     cache: Cache, beams: int = 1,
-                    cross_len: Optional[int] = None
+                    cross_len: Optional[int] = None,
+                    perm: Optional[jax.Array] = None
                     ) -> Tuple[jax.Array, Cache]:
         """One decode step.
 
@@ -639,7 +640,9 @@ class RobertaCausalDecoder(nn.Module):
         of copy / update-slice fragments)."""
         if "w_head" in cache:
             return self._fused_decode_step(token_ids, index, position_ids,
-                                           key_mask, cache, beams, cross_len)
+                                           key_mask, cache, beams, cross_len,
+                                           perm)
+        assert perm is None, "perm fold is a fused-kernel-path feature"
         hidden = self.embeddings(token_ids[:, None], position_ids[:, None])
         key_bias = ((1.0 - key_mask.astype(jnp.float32)) * NEG_INF)[:, None, None, :]
 
@@ -666,11 +669,17 @@ class RobertaCausalDecoder(nn.Module):
     def _fused_decode_step(self, token_ids: jax.Array, index: jax.Array,
                            position_ids: jax.Array, key_mask: jax.Array,
                            cache: Cache, beams: int,
-                           cross_len: Optional[int]
+                           cross_len: Optional[int],
+                           perm: Optional[jax.Array] = None
                            ) -> Tuple[jax.Array, Cache]:
         """Whole-step Pallas path: all layer bodies in one kernel invocation
         (ops/fused_decode.py); only embeddings, the LM head and the cache
-        column writes remain XLA ops."""
+        column writes remain XLA ops.
+
+        perm (N,) int32 (optional): beam-search cache-reorder fold — the
+        kernel permutes the self K/V rows by perm before attending and
+        returns the permuted caches, replacing the caller's separate
+        reorder op (generation.PRISMER_BEAM_PERM=kernel)."""
         from prismer_tpu.ops.fused_decode import fused_decode_step
         c = self.cfg
         assert cross_len is not None, "fused decode needs static cross_len"
@@ -683,19 +692,22 @@ class RobertaCausalDecoder(nn.Module):
         mask_t = key_mask.T.astype(jnp.float32)             # (T, N)
         excl = jnp.arange(t)[:, None] != index
         bias_tn = jnp.where((mask_t > 0) & excl, 0.0, NEG_INF)
-        hidden_out, k_new, v_new = fused_decode_step(
+        out = fused_decode_step(
             hidden, cache["w_head"], cache["w_tail"], cache["b_all"],
             cache["self_k_tn"], cache["self_v_tn"],
             bias_tn.astype(jnp.float32),
             cache["cross_kd"], cache["cross_vc"],
-            cache.get("cross_ks"), cache.get("cross_vs"),
+            cache.get("cross_ks"), cache.get("cross_vs"), perm,
             heads=c.num_attention_heads, beams=beams, valid_len=cross_len,
             eps=c.layer_norm_eps)
+        hidden_out, k_new, v_new = out[0], out[1], out[2]
+        base_k, base_v = ((out[3], out[4]) if perm is not None
+                          else (cache["self_k_tn"], cache["self_v_tn"]))
         zero = jnp.zeros((), jnp.int32)
         self_k = jax.lax.dynamic_update_slice(
-            cache["self_k_tn"], k_new[:, None], (zero, index, zero, zero))
+            base_k, k_new[:, None], (zero, index, zero, zero))
         self_v = jax.lax.dynamic_update_slice(
-            cache["self_v_tn"], v_new[:, None], (zero, index, zero, zero))
+            base_v, v_new[:, None], (zero, index, zero, zero))
         logits = self.lm_head(hidden_out[:, None, :],
                               self.embeddings.word_embeddings,
                               emb_t=self._serving_emb_t())

@@ -235,11 +235,20 @@ def _ln(x32, scale, bias, eps):
 def _kernel(hidden0_ref, wh_ref, wt_ref, b_ref, selfk_ref, selfv_ref,
             bias_tn_ref, crossk_ref, crossv_ref, *rest, heads: int, dh: int,
             nlc: int, batch: int, beams: int, valid_len: int, eps: float,
-            dtype, manual_dma: bool, nl: int, quant: bool):
+            dtype, manual_dma: bool, nl: int, quant: bool,
+            permute: bool = False):
     if quant:
         ks_ref, vs_ref = rest[0], rest[1]
         rest = rest[2:]
-    hidden_out_ref, knew_ref, vnew_ref, h_s, qc_s, co_s, *extra = rest
+    if permute:
+        fb_ref = rest[0]
+        rest = rest[1:]
+    hidden_out_ref, knew_ref, vnew_ref = rest[:3]
+    rest = rest[3:]
+    if permute:
+        skp_ref, svp_ref = rest[0], rest[1]
+        rest = rest[2:]
+    h_s, qc_s, co_s, *extra = rest
     i = pl.program_id(0)
     j = pl.program_id(1)
     d = h_s.shape[1]
@@ -357,7 +366,27 @@ def _kernel(hidden0_ref, wh_ref, wt_ref, b_ref, selfk_ref, selfv_ref,
         vnew_ref[0] = v_new
 
         g = head_group_matrix()
-        kc = self_k_block()                                 # (T, N, D)
+        if permute:
+            # Fold the per-step beam reorder into the kernel: permute the
+            # layer's self K/V tiles (already resident in VMEM for the
+            # attention read) with the 0/1 selector P[r, c] =
+            # [c == flat_beam[r]] — one small matmul per cached column,
+            # exact copies (f32 accumulate of a single 1.0*v term, cast
+            # back to the storage dtype) — and write them out as the next
+            # step's caches. This removes the separate XLA reorder op,
+            # which re-streamed both (NL, T, N, D) caches through HBM at a
+            # measured 108-137 GB/s (tools/bench_beam_perm.py).
+            fb = fb_ref[:]                                  # (N, 1) int32
+            cols_p = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+            pmat = (cols_p == fb).astype(dtype)
+            kc_raw = self_k_block()
+            vc_raw = self_v_block()
+            for tt in range(t):
+                skp_ref[0, tt] = matmul(pmat, kc_raw[tt]).astype(dtype)
+                svp_ref[0, tt] = matmul(pmat, vc_raw[tt]).astype(dtype)
+            kc = skp_ref[0]
+        else:
+            kc = self_k_block()                             # (T, N, D)
         prod = (kc * q[None, :, :]).reshape(t * n, d)
         s = (matmul(prod, g) * scale).reshape(t, n, 128)
         s = s + bias_tn_ref[:][:, :, None]
@@ -371,7 +400,8 @@ def _kernel(hidden0_ref, wh_ref, wt_ref, b_ref, selfk_ref, selfv_ref,
         pn_cur = (p_cur / den).astype(dtype)
         gt = head_expand_matrix()                           # (128, D)
         pe = matmul(pn.reshape(t * n, 128), gt).reshape(t, n, d)
-        att = jnp.sum(pe * self_v_block().astype(f32), axis=0)
+        vv = svp_ref[0] if permute else self_v_block()
+        att = jnp.sum(pe * vv.astype(f32), axis=0)
         att = att + matmul(pn_cur, gt) * v_new.astype(f32)
         o = dense(att.astype(dtype), 3 * d, 4 * d, 3 * d)
         h_s[:] = layer_norm(o, x, 4 * d)
@@ -505,10 +535,11 @@ def fused_decode_step(hidden0: jax.Array, w_head: jax.Array,
                       cross_vc: jax.Array,
                       cross_ks: Optional[jax.Array] = None,
                       cross_vs: Optional[jax.Array] = None,
+                      flat_beam: Optional[jax.Array] = None,
                       *, heads: int, beams: int,
                       valid_len: int, eps: float = 1e-5,
                       interpret: Optional[bool] = None
-                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+                      ) -> Tuple[jax.Array, ...]:
     """One whole decode step over all layers.
 
     hidden0 (N, D) embeddings output; self_k/self_v (NL, T, N, D);
@@ -524,6 +555,14 @@ def fused_decode_step(hidden0: jax.Array, w_head: jax.Array,
     (quantize_kv_nat) — halves the dominant per-step HBM
     stream; dequantization folds into the tiny per-head q / probability
     rows in-kernel.
+
+    flat_beam (N,) int32 (optional): beam-reorder fold. When given, the
+    kernel permutes each layer's self K/V rows (axis N) by flat_beam BEFORE
+    the self-attention read — exactly the beam_search cache reorder — and
+    additionally returns the permuted caches (self_k_perm, self_v_perm),
+    both (NL, T, N, D). The caller then skips its own reorder op: the
+    permutation rides on tiles the kernel already holds in VMEM
+    (generation.PRISMER_BEAM_PERM=kernel).
     """
     n, d = hidden0.shape
     nl, t = self_k.shape[0], self_k.shape[1]
@@ -553,10 +592,11 @@ def fused_decode_step(hidden0: jax.Array, w_head: jax.Array,
     # one-step BlockSpec lookahead. PRISMER_FUSED_WDMA=0 keeps the
     # BlockSpec path for A/B.
     manual_dma = os.environ.get("PRISMER_FUSED_WDMA", "1") == "1"
+    permute = flat_beam is not None
     kern = functools.partial(
         _kernel, heads=heads, dh=dh, nlc=nlc, batch=b, beams=beams,
         valid_len=valid_len, eps=eps, dtype=dtype, manual_dma=manual_dma,
-        nl=nl, quant=quant)
+        nl=nl, quant=quant, permute=permute)
 
     assert w_head.shape[2] == 5 * d, w_head.shape
     f = (w_tail.shape[2] - 3 * d) // 2
@@ -565,6 +605,9 @@ def fused_decode_step(hidden0: jax.Array, w_head: jax.Array,
     bytes_acc = ((w_head.size + w_tail.size) * w_head.dtype.itemsize
                  + (cross_kd.size + cross_vc.size) * cross_kd.dtype.itemsize
                  + (self_k.size + self_v.size) * self_k.dtype.itemsize)
+    if flat_beam is not None:
+        # the permuted-cache outputs add one full write of both self caches
+        bytes_acc += (self_k.size + self_v.size) * self_k.dtype.itemsize
 
     if manual_dma:
         wh_spec = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -612,7 +655,9 @@ def fused_decode_step(hidden0: jax.Array, w_head: jax.Array,
             pl.BlockSpec((1, 1, lp, d), cross_idx,
                          memory_space=pltpu.VMEM),
         ] + ([pl.BlockSpec((1, 1, 1, 128), cross_idx,
-                           memory_space=pltpu.VMEM)] * 2 if quant else []),
+                           memory_space=pltpu.VMEM)] * 2 if quant else [])
+          + ([pl.BlockSpec((n, 1), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)] if permute else []),
         out_specs=[
             pl.BlockSpec((n, d), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -620,12 +665,14 @@ def fused_decode_step(hidden0: jax.Array, w_head: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + ([pl.BlockSpec((1, t, n, d), lambda i, j: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)] * 2 if permute else []),
         out_shape=[
             jax.ShapeDtypeStruct((n, d), dtype),
             jax.ShapeDtypeStruct((nl, n, d), dtype),
             jax.ShapeDtypeStruct((nl, n, d), dtype),
-        ],
+        ] + ([jax.ShapeDtypeStruct((nl, t, n, d), dtype)] * 2
+             if permute else []),
         scratch_shapes=[
             pltpu.VMEM((n, d), dtype),              # hidden
             pltpu.VMEM((b * QP, heads * 128), dtype),  # cross-q, strided +
@@ -643,5 +690,6 @@ def fused_decode_step(hidden0: jax.Array, w_head: jax.Array,
         ),
         interpret=interpret,
     )(hidden0, w_head, w_tail, b_all[:, None, :], self_k, self_v, bias_tn,
-      cross_kd, cross_vc, *((cross_ks, cross_vs) if quant else ()))
-    return out[0], out[1], out[2]
+      cross_kd, cross_vc, *((cross_ks, cross_vs) if quant else ()),
+      *((flat_beam.astype(jnp.int32).reshape(n, 1),) if permute else ()))
+    return tuple(out)

@@ -347,3 +347,90 @@ def test_kv_quant_beam_search_smoke():
     assert np.isfinite(np.asarray(scores)).all()
     assert (np.asarray(seqs) >= 0).all()
     assert (np.asarray(seqs) < 128).all()
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_kernel_perm_fold_matches_outside_permute(dtype):
+    """fused_decode_step(flat_beam=...) — the in-kernel beam-reorder fold —
+    is BIT-IDENTICAL to permuting the self caches outside and running the
+    plain fused step: the fold applies the same 0/1 selector to the same
+    rows, just while the tiles are already in VMEM."""
+    cfg, dec, variables, enc, ids_tiled, mask_tiled, prompt_mask = \
+        _setup(dtype)
+    rb.set_fused_decode("on")
+    _, cache = dec.apply(variables, ids_tiled, mask_tiled, enc, T, K,
+                         method=RobertaCausalDecoder.init_cache)
+    assert "self_k_tn" in cache
+
+    rng = np.random.default_rng(11)
+    beam = rng.integers(0, K, (B, K))
+    flat_beam = jnp.asarray(
+        (beam + np.arange(B)[:, None] * K).reshape(-1).astype(np.int32))
+    index = jnp.asarray(P, jnp.int32)
+    tokens = jnp.asarray(rng.integers(4, 120, (N,)).astype(np.int32))
+    pos = jnp.full((N,), P + 2, jnp.int32)
+    positions = jnp.arange(T)[None, :]
+    key_mask_b = jnp.where(
+        positions < P, jnp.pad(prompt_mask, ((0, 0), (0, T - P))),
+        (positions <= index).astype(prompt_mask.dtype))
+    key_mask = jnp.repeat(key_mask_b, K, axis=0)
+
+    # path A: reorder outside (the gather impl), then a plain fused step
+    cache_a = dict(cache,
+                   self_k_tn=jnp.take(cache["self_k_tn"], flat_beam, axis=2),
+                   self_v_tn=jnp.take(cache["self_v_tn"], flat_beam, axis=2))
+    logits_a, cache_a = dec.apply(
+        variables, tokens, index, pos, key_mask, cache_a, K, L_ENC,
+        method=RobertaCausalDecoder.decode_step)
+
+    # path B: unpermuted cache, reorder folded into the kernel
+    logits_b, cache_b = dec.apply(
+        variables, tokens, index, pos, key_mask, cache, K, L_ENC,
+        perm=flat_beam, method=RobertaCausalDecoder.decode_step)
+
+    np.testing.assert_array_equal(np.asarray(logits_b), np.asarray(logits_a))
+    np.testing.assert_array_equal(np.asarray(cache_b["self_k_tn"]),
+                                  np.asarray(cache_a["self_k_tn"]))
+    np.testing.assert_array_equal(np.asarray(cache_b["self_v_tn"]),
+                                  np.asarray(cache_a["self_v_tn"]))
+
+
+def test_beam_search_kernel_perm_mode_end_to_end(monkeypatch):
+    """PRISMER_BEAM_PERM=kernel beam search (reorder folded into the fused
+    kernel) returns exactly the gather-mode sequences and scores."""
+    from prismer_tpu.models import generation
+    from prismer_tpu.models.generation import beam_search
+    from prismer_tpu.models.prismer import Prismer
+    from tests.test_models import make_expert_inputs, tiny_vision
+
+    import dataclasses
+
+    rng = np.random.default_rng(3)
+    vis = tiny_vision()
+    dec_cfg = dataclasses.replace(decoder_cfg(), vision_hidden_size=64)
+    cfg = PrismerConfig(vision=vis, decoder=dec_cfg,
+                        prismer_model="prismer_tiny", dtype="float32")
+    model = Prismer(cfg)
+    inputs = make_expert_inputs(rng, vis)
+    ids = jnp.asarray(rng.integers(4, 120, (2, 4)).astype(np.int32))
+    mask = jnp.ones((2, 4), jnp.int32)
+    variables = model.init(jax.random.key(0), inputs, ids, mask)
+    enc = model.apply(variables, inputs, method=Prismer.encode)
+    rb.set_fused_decode("on")
+
+    def make_run():
+        # fresh function object per mode (trace cache is identity-keyed)
+        def run():
+            return beam_search(
+                model, variables, enc, ids, mask, num_beams=3, max_length=12,
+                min_length=6, length_penalty=1.0,
+                eos_token_id=cfg.decoder.eos_token_id,
+                pad_token_id=cfg.decoder.pad_token_id)
+        return jax.jit(run)
+
+    monkeypatch.setattr(generation, "BEAM_PERM_IMPL", "gather")
+    seq_g, sc_g = make_run()()
+    monkeypatch.setattr(generation, "BEAM_PERM_IMPL", "kernel")
+    seq_k, sc_k = make_run()()
+    np.testing.assert_array_equal(np.asarray(seq_k), np.asarray(seq_g))
+    np.testing.assert_array_equal(np.asarray(sc_k), np.asarray(sc_g))
