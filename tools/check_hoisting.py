@@ -47,7 +47,12 @@ def main():
 
     model, cfg = make_model("prismer_base", False)
     batch = args.batch
-    variables = init_variables(model, cfg, batch)
+    # bench.py-matching serving config (bf16 params + packed decode
+    # collection) — an fp32/non-serving run is NOT comparable to the
+    # headline (decode-only measured 176 vs ~63 ms at b24)
+    variables = init_variables(model, cfg, batch, "bfloat16")
+    from prismer_tpu.models.prismer import prepare_serving_variables
+    variables = prepare_serving_variables(model, variables)
     experts_fixed = jax.jit(
         lambda s: device_experts(cfg, jax.random.key(s), batch))(jnp.int32(0))
 

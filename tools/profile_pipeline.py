@@ -31,6 +31,17 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--stages", nargs="+",
                     default=["encode", "prefill", "full"])
+    ap.add_argument("--params_dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"],
+                    help="MUST match bench.py (bf16 serving default) for "
+                         "the attribution to be comparable to the headline "
+                         "— an fp32 run doubles every weight/cache stream "
+                         "and measured decode-only 176 vs ~63 ms at b24")
+    ap.add_argument("--serving", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="prepare_serving_variables (packed decode weights "
+                         "+ pre-transposed LM-head embeddings), as bench.py "
+                         "does")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +58,10 @@ def main():
     max_length = 10 if args.quick else 20
     min_length = min(8, max_length - 1)
     prompt_len = 4
-    variables = init_variables(model, cfg, batch)
+    variables = init_variables(model, cfg, batch, args.params_dtype)
+    if args.serving:
+        from prismer_tpu.models.prismer import prepare_serving_variables
+        variables = prepare_serving_variables(model, variables)
 
     @jax.jit
     def make_inputs(seed):
