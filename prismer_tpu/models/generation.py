@@ -43,7 +43,9 @@ class BeamState(NamedTuple):
     index: jax.Array          # scalar int32: current total length / write pos
     alive_seqs: jax.Array     # (B, K, T)
     alive_scores: jax.Array   # (B, K) raw sum-logprob
-    logits: jax.Array         # (B, K, V) for position index-1 -> selects token at index
+    logits: jax.Array         # (B, K, V) for position index-1 -> selects token
+                              # at index; in lm_topk kernel mode this carries
+                              # the (B*K, D) LM-head features instead
     cache: Any                # decoder KV cache, batch dim = B*K
     finished_seqs: jax.Array  # (B, K, T)
     finished_scores: jax.Array  # (B, K) length-penalized, -inf empty
@@ -77,6 +79,18 @@ def _gather_beams(x: jax.Array, beam_idx: jax.Array) -> jax.Array:
 # only 108-137 GB/s — tools/bench_beam_perm.py); kernel is the default,
 # and the non-fused cache layout always uses the gather.
 BEAM_PERM_IMPL = os.environ.get("PRISMER_BEAM_PERM", "kernel")
+
+# LM-head + top-2K candidate selection implementation, bound at import
+# (trace-time flag, A/B via separate processes). 'kernel' fuses the
+# tied-embedding projection AND the whole lazy top-2K selection into one
+# pallas kernel (ops/lm_topk.py): the (B, K, V) fp32 logits never hit HBM
+# or the while-loop carry (the state carries the (N, D) LM-head features
+# instead), and the ~70 tiny latency-bound selection ops per step collapse
+# into the kernel's VMEM-resident rounds. Engages only when the serving
+# packed_decode collection provides the padded embedding layout
+# (prismer.prepare_serving_variables) on the fused decode path; selection
+# is index-identical to the XLA path (values to fp32 ulp).
+LM_TOPK_IMPL = os.environ.get("PRISMER_LM_TOPK", "xla")
 
 
 def _permute_cache_rows(x: jax.Array, flat_beam: jax.Array) -> jax.Array:
@@ -259,16 +273,26 @@ def beam_search(model: Prismer, variables: Dict[str, Any],
     t = max_length
     assert p < t, "prompt longer than max_length"
 
+    from prismer_tpu.models.roberta import use_fused_decode
+    packed = {}
+    if "packed_decode" in variables:
+        packed = variables["packed_decode"].get("text_decoder", {})
+    use_lm_kernel = (LM_TOPK_IMPL == "kernel" and "emb_tp" in packed
+                     and use_fused_decode())
+
     # tile the prompt to B*K rows; encoder states stay untiled — cross-attn
     # K/V are projected once per sample inside init_cache (beams=k)
     tile = lambda x: jnp.repeat(x, k, axis=0)
     ids_tiled = tile(prompt_ids)
     mask_tiled = tile(prompt_mask)
 
+    # kernel mode: the loop state carries the (N, D) LM-head FEATURES, not
+    # logits — the fused kernel projects + selects in one pass per step
     last_logits, cache = model.apply(
         variables, ids_tiled, mask_tiled, encoder_hidden_states, t, k,
-        method=Prismer.init_cache)
-    vocab = last_logits.shape[-1]
+        return_h=use_lm_kernel, method=Prismer.init_cache)
+    vocab = (packed["emb_t"].shape[1] if use_lm_kernel
+             else last_logits.shape[-1])
 
     alive_seqs = jnp.full((b, k, t), pad_token_id, dtype=jnp.int32)
     alive_seqs = alive_seqs.at[:, :, :p].set(prompt_ids[:, None, :])
@@ -279,7 +303,8 @@ def beam_search(model: Prismer, variables: Dict[str, Any],
         index=jnp.asarray(p, jnp.int32),
         alive_seqs=alive_seqs,
         alive_scores=alive_scores,
-        logits=_unflat(last_logits, b, k),
+        logits=(last_logits if use_lm_kernel
+                else _unflat(last_logits, b, k)),
         cache=cache,
         finished_seqs=jnp.full((b, k, t), pad_token_id, dtype=jnp.int32),
         finished_scores=jnp.full((b, k), NEG_INF, jnp.float32),
@@ -303,9 +328,16 @@ def beam_search(model: Prismer, variables: Dict[str, Any],
         # min-length EOS mask — never materializes log-probs or the
         # (B, K*V) candidate matrix (two fused logits reads per step
         # instead of ~5 passes; bit-identical selection)
-        top_scores, top_beam, top_token = lazy_top_candidates(
-            st.logits, st.alive_scores, 2 * k, eos_token_id,
-            st.index < min_length)
+        if use_lm_kernel:
+            from prismer_tpu.ops.lm_topk import lm_topk
+            top_scores, top_beam, top_token = lm_topk(
+                st.logits, packed["emb_tp"], packed["lm_bias_p"],
+                st.alive_scores, st.index < min_length, vocab=vocab,
+                beams=k, kk=2 * k, eos_token_id=eos_token_id)
+        else:
+            top_scores, top_beam, top_token = lazy_top_candidates(
+                st.logits, st.alive_scores, 2 * k, eos_token_id,
+                st.index < min_length)
 
         is_eos = top_token == eos_token_id
         rank = jnp.broadcast_to(jnp.arange(2 * k)[None, :], (b, 2 * k))
@@ -393,13 +425,14 @@ def beam_search(model: Prismer, variables: Dict[str, Any],
         step_logits, cache = model.apply(
             variables, new_tokens.reshape(-1), st.index, pos_ids,
             key_mask, cache, k, encoder_hidden_states.shape[1], perm,
-            method=Prismer.decode_step)
+            use_lm_kernel, method=Prismer.decode_step)
 
         return BeamState(
             index=st.index + 1,
             alive_seqs=new_alive_seqs,
             alive_scores=new_alive_scores,
-            logits=_unflat(step_logits, b, k),
+            logits=(step_logits if use_lm_kernel
+                    else _unflat(step_logits, b, k)),
             cache=cache,
             finished_seqs=new_fin_seqs,
             finished_scores=new_fin_scores,

@@ -63,19 +63,21 @@ class Prismer(nn.Module):
     # cached generation entry points (used under jit by generation.py)
     def init_cache(self, input_ids: jax.Array, attention_mask: jax.Array,
                    encoder_hidden_states: jax.Array, max_len: int,
-                   beams: int = 1) -> Tuple[jax.Array, Cache]:
+                   beams: int = 1, return_h: bool = False
+                   ) -> Tuple[jax.Array, Cache]:
         return self.text_decoder.init_cache(
             input_ids, attention_mask, encoder_hidden_states, max_len,
-            beams=beams)
+            beams=beams, return_h=return_h)
 
     def decode_step(self, token_ids: jax.Array, index: jax.Array,
                     position_ids: jax.Array, key_mask: jax.Array,
                     cache: Cache, beams: int = 1,
                     cross_len: int = None,
-                    perm: jax.Array = None) -> Tuple[jax.Array, Cache]:
+                    perm: jax.Array = None,
+                    return_h: bool = False) -> Tuple[jax.Array, Cache]:
         return self.text_decoder.decode_step(
             token_ids, index, position_ids, key_mask, cache, beams=beams,
-            cross_len=cross_len, perm=perm)
+            cross_len=cross_len, perm=perm, return_h=return_h)
 
 
 def prepare_serving_variables(model: Prismer,

@@ -114,6 +114,11 @@ def pack_decode_collection(decoder_params: Dict[str, Any],
         # per-call 77 MB transpose)
         we = decoder_params["embeddings"]["word_embeddings"]
         out["emb_t"] = jnp.asarray(we, dtype).T
+        # vocab-padded layout + fp32 LM bias for the fused LM-head+top-k
+        # kernel (ops/lm_topk.py; generation.PRISMER_LM_TOPK)
+        from prismer_tpu.ops.lm_topk import pad_embedding
+        out["emb_tp"], out["lm_bias_p"] = pad_embedding(
+            out["emb_t"], decoder_params["lm_head"]["bias"], we.shape[0])
     return out
 
 
@@ -443,9 +448,15 @@ class LMHead(nn.Module):
         self.bias = self.param("bias", nn.initializers.zeros,
                                (self.cfg.vocab_size,), jnp.float32)
 
+    def features(self, hidden: jax.Array) -> jax.Array:
+        """dense -> gelu -> LN — everything before the tied-embedding
+        projection. The fused LM-head+top-k kernel (ops/lm_topk.py) consumes
+        these features directly and never materializes logits."""
+        return self.ln(gelu_exact(self.dense(hidden)))
+
     def __call__(self, hidden: jax.Array, word_embeddings: jax.Array,
                  emb_t: Optional[jax.Array] = None) -> jax.Array:
-        h = self.ln(gelu_exact(self.dense(hidden)))
+        h = self.features(hidden)
         # compute-dtype inputs, fp32 MXU accumulation (the reference runs
         # this projection under fp16 AMP, train_caption.py:39)
         if emb_t is not None:
@@ -544,10 +555,14 @@ class RobertaCausalDecoder(nn.Module):
 
     def init_cache(self, input_ids: jax.Array, attention_mask: jax.Array,
                    encoder_hidden_states: jax.Array, max_len: int,
-                   beams: int = 1) -> Tuple[jax.Array, Cache]:
+                   beams: int = 1, return_h: bool = False
+                   ) -> Tuple[jax.Array, Cache]:
         """Prefill the (right-padded) prompt. Returns (last-position logits,
         cache). The next-token distribution is logits at column L-1, matching
-        HF generate on right-padded prompts.
+        HF generate on right-padded prompts. With return_h (static), the
+        first element is the last position's LM-head FEATURES (N, D) instead
+        — the fused LM-head+top-k kernel path (ops/lm_topk.py) never
+        materializes logits.
 
         For beam search, pass the UNTILED encoder states (B, L, D) with
         beams=K while input_ids/attention_mask are beam-tiled (B*K rows):
@@ -604,25 +619,28 @@ class RobertaCausalDecoder(nn.Module):
         kts.append(kt)
         vs.append(v)
 
-        logits = self.lm_head(hidden[:, -1:, :],
-                              self.embeddings.word_embeddings,
-                              emb_t=self._serving_emb_t())
+        if return_h:
+            out = self.lm_head.features(hidden[:, -1:, :])[:, 0, :]
+        else:
+            out = self.lm_head(hidden[:, -1:, :],
+                               self.embeddings.word_embeddings,
+                               emb_t=self._serving_emb_t())[:, 0, :]
         if fused:
-            return logits[:, 0, :], self._fused_cache(kts, vs, kds, vcs,
-                                                      kss, vss)
+            return out, self._fused_cache(kts, vs, kds, vcs, kss, vss)
         cache = {
             "self_kt": jnp.stack(kts), "self_v": jnp.stack(vs),
             "cross_kt": jnp.stack(ckts), "cross_v": jnp.stack(cvs),
         }
-        return logits[:, 0, :], cache
+        return out, cache
 
     def decode_step(self, token_ids: jax.Array, index: jax.Array,
                     position_ids: jax.Array, key_mask: jax.Array,
                     cache: Cache, beams: int = 1,
                     cross_len: Optional[int] = None,
-                    perm: Optional[jax.Array] = None
-                    ) -> Tuple[jax.Array, Cache]:
-        """One decode step.
+                    perm: Optional[jax.Array] = None,
+                    return_h: bool = False) -> Tuple[jax.Array, Cache]:
+        """One decode step. With return_h (static), returns LM-head features
+        (N, D) instead of logits (fused LM-head+top-k kernel path).
 
         token_ids: (B*beams,) current tokens; index: scalar write position;
         position_ids: RoBERTa position ids for these tokens; key_mask:
@@ -641,8 +659,9 @@ class RobertaCausalDecoder(nn.Module):
         if "w_head" in cache:
             return self._fused_decode_step(token_ids, index, position_ids,
                                            key_mask, cache, beams, cross_len,
-                                           perm)
+                                           perm, return_h)
         assert perm is None, "perm fold is a fused-kernel-path feature"
+        assert not return_h, "return_h is a fused-kernel-path feature"
         hidden = self.embeddings(token_ids[:, None], position_ids[:, None])
         key_bias = ((1.0 - key_mask.astype(jnp.float32)) * NEG_INF)[:, None, None, :]
 
@@ -670,7 +689,8 @@ class RobertaCausalDecoder(nn.Module):
                            position_ids: jax.Array, key_mask: jax.Array,
                            cache: Cache, beams: int,
                            cross_len: Optional[int],
-                           perm: Optional[jax.Array] = None
+                           perm: Optional[jax.Array] = None,
+                           return_h: bool = False
                            ) -> Tuple[jax.Array, Cache]:
         """Whole-step Pallas path: all layer bodies in one kernel invocation
         (ops/fused_decode.py); only embeddings, the LM head and the cache
@@ -708,11 +728,14 @@ class RobertaCausalDecoder(nn.Module):
             base_k, k_new[:, None], (zero, index, zero, zero))
         self_v = jax.lax.dynamic_update_slice(
             base_v, v_new[:, None], (zero, index, zero, zero))
+        new_cache = dict(cache, self_k_tn=self_k, self_v_tn=self_v)
+        if return_h:
+            return (self.lm_head.features(hidden_out[:, None, :])[:, 0, :],
+                    new_cache)
         logits = self.lm_head(hidden_out[:, None, :],
                               self.embeddings.word_embeddings,
                               emb_t=self._serving_emb_t())
-        return logits[:, 0, :], dict(cache, self_k_tn=self_k,
-                                     self_v_tn=self_v)
+        return logits[:, 0, :], new_cache
 
 
 def label_smoothed_loss(logits: jax.Array, labels: jax.Array,
