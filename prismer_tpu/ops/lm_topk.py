@@ -67,6 +67,19 @@ def _iota(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
 
+def _sdot(a, b):
+    """f32 selector/stat matmul at FULL f32 precision. Mosaic's DEFAULT
+    precision runs f32 MXU operands as ONE bf16 pass, silently rounding the
+    routed values to ~2^-8 relative — measured on-chip as ~1e-2 candidate
+    value drift and rank flips vs the XLA path (tools/check_lm_topk_tpu.py).
+    HIGHEST forces the multi-pass f32 algorithm; 0/1 selectors then copy
+    exactly. Only the tiny selection-phase dots pay this — the big (N,D)x
+    (D,Vb) logits matmul stays one-pass bf16, same as the XLA einsum."""
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
 def _kernel(h_ref, emb_ref, bias_ref, alive_ref, me_ref, vals_ref, beam_ref,
             tok_ref, logits_s, *, v: int, vb: int, nvb: int, beams: int,
             kk: int, eos_id: int):
@@ -136,12 +149,9 @@ def _kernel(h_ref, emb_ref, bias_ref, alive_ref, me_ref, vals_ref, beam_ref,
         bmf2 = jnp.full((b, 128), NEG_BIG, f32)
         for k in range(beams):
             sel = (coln == rowb * beams + k).astype(f32)     # (B, N)
-            row = jax.lax.dot_general(sel, bm_l,
-                                      (((1,), (0,)), ((), ())),
-                                      preferred_element_type=f32)
+            row = _sdot(sel, bm_l)
             sh = ((c128 == r128 + k * nvb) & (r128 < nvb)).astype(f32)
-            shifted = jax.lax.dot_general(row, sh, (((1,), (0,)), ((), ())),
-                                          preferred_element_type=f32)
+            shifted = _sdot(row, sh)
             in_k = (lane_b >= k * nvb) & (lane_b < (k + 1) * nvb)
             bmf2 = jnp.where(in_k, shifted, bmf2)
 
@@ -162,16 +172,11 @@ def _kernel(h_ref, emb_ref, bias_ref, alive_ref, me_ref, vals_ref, beam_ref,
             xr = None
             for jj in range(nvb):
                 rj = jnp.where(jb == jj, rsel, 0.0)
-                px = jax.lax.dot_general(rj, logits_s[jj],
-                                         (((1,), (0,)), ((), ())),
-                                         preferred_element_type=f32)
+                px = _sdot(rj, logits_s[jj])
                 xr = px if xr is None else xr + px           # (B, Vb)
-            a_r = jax.lax.dot_general(rsel, a, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=f32)
-            m_r = jax.lax.dot_general(rsel, m, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=f32)
-            ls_r = jax.lax.dot_general(rsel, ls, (((1,), (0,)), ((), ())),
-                                       preferred_element_type=f32)
+            a_r = _sdot(rsel, a)
+            m_r = _sdot(rsel, m)
+            ls_r = _sdot(rsel, ls)
             fb = a_r + ((xr - m_r) - ls_r)                   # (B, Vb)
             if vlast < vb:
                 fb = jnp.where((jb == nvb - 1) & (lane_v >= vlast),
