@@ -90,7 +90,13 @@ BEAM_PERM_IMPL = os.environ.get("PRISMER_BEAM_PERM", "kernel")
 # packed_decode collection provides the padded embedding layout
 # (prismer.prepare_serving_variables) on the fused decode path; selection
 # is index-identical to the XLA path (values to fp32 ulp).
-LM_TOPK_IMPL = os.environ.get("PRISMER_LM_TOPK", "xla")
+# ADOPTED as default after the same-session b24 e2e A/B (2026-08-18):
+# kernel 231.9 vs xla 180.4 img/s (+28.5%, MFU 0.279 -> 0.359) — the win is
+# far larger than the ~9 ms LM-head+top-k attribution because the fp32
+# (B, K, V) logits also stop riding the while-loop carry (14.5 MB/step
+# read+write at b24). Selection indices are exact vs the XLA path on-chip
+# (tools/check_lm_topk_tpu.py; requires the Precision.HIGHEST selector fix).
+LM_TOPK_IMPL = os.environ.get("PRISMER_LM_TOPK", "kernel")
 
 
 def _permute_cache_rows(x: jax.Array, flat_beam: jax.Array) -> jax.Array:
