@@ -133,6 +133,54 @@ _PEAK_BF16_TFLOPS = (("v6", 918.0), ("v5p", 459.0), ("v5", 197.0),
                      ("v4", 275.0), ("v3", 123.0), ("v2", 46.0))
 
 
+def _encoder_flops_parts(cfg):
+    """Per-image encoder matmul/conv FLOPs, itemized by freeze-mode region:
+    {'stems': conv stems + resampler (always trainable),
+     'trunk_dense': ViT qkvo + mlp matmuls (frozen under freeze_vision),
+     'trunk_attn': attention score/weighted-sum contractions (no params),
+     'adaptors': trunk adaptors (always trainable),
+     'n_tokens': trunk sequence length}."""
+    v = cfg.vision
+    w = v.width
+    mm = lambda rows, cin, cout: 2.0 * rows * cin * cout
+
+    stems = 0.0
+    n_rgb = v.rgb_tokens
+    stems += mm(n_rgb, 3 * v.patch_size ** 2, w)  # RGB patchify conv
+    stem_tokens = 0
+    for exp, ch in v.experts:
+        if exp == "rgb":
+            continue
+        id_map = ch == 64
+        s = int(v.label_resolution * (4 if id_map else 16) / v.patch_size)
+        strides = (2, 2, 1, 1) if id_map else (2, 2, 2, 2)
+        widths = (w // 8, w // 4, w // 2, w)
+        cin = ch
+        for st, cout in zip(strides, widths):
+            s //= st
+            stems += mm(s * s, 9 * cin, cout)
+            cin = cout
+        stems += mm(s * s, w, w)  # 1x1 proj
+        stem_tokens += s * s
+    # resampler (4 layers over 64 latents + expert tokens)
+    if stem_tokens:
+        m = v.resampler_latents + stem_tokens
+        for _ in range(v.resampler_layers):
+            stems += mm(v.resampler_latents, w, w)      # q
+            stems += 2 * mm(m, w, w)                    # k, v
+            stems += 2 * mm(v.resampler_latents, m, w)  # scores + wsum
+            stems += mm(v.resampler_latents, w, w)      # out
+            stems += 2 * mm(v.resampler_latents, w, 4 * w)  # mlp
+    n = n_rgb + (v.resampler_latents if stem_tokens else 0)
+    return {
+        "stems": stems,
+        "trunk_dense": v.layers * (4 * mm(n, w, w) + 2 * mm(n, w, 4 * w)),
+        "trunk_attn": v.layers * 2 * mm(n, n, w),
+        "adaptors": v.layers * 2 * mm(n, w, w),
+        "n_tokens": n,
+    }
+
+
 def analytic_caption_flops(cfg, batch: int, prompt_len: int, max_length: int,
                            num_beams: int) -> float:
     """Model FLOPs of ONE caption pass (encoder + prefill + full decode).
@@ -150,41 +198,9 @@ def analytic_caption_flops(cfg, batch: int, prompt_len: int, max_length: int,
     w = v.width
     mm = lambda rows, cin, cout: 2.0 * rows * cin * cout
 
-    f = 0.0
-    # --- encoder stems (per image) --------------------------------------
-    n_rgb = v.rgb_tokens
-    f += mm(n_rgb, 3 * v.patch_size ** 2, w)  # RGB patchify conv
-    stem_tokens = 0
-    for exp, ch in v.experts:
-        if exp == "rgb":
-            continue
-        id_map = ch == 64
-        s = int(v.label_resolution * (4 if id_map else 16) / v.patch_size)
-        strides = (2, 2, 1, 1) if id_map else (2, 2, 2, 2)
-        widths = (w // 8, w // 4, w // 2, w)
-        cin = ch
-        for st, cout in zip(strides, widths):
-            s //= st
-            f += mm(s * s, 9 * cin, cout)
-            cin = cout
-        f += mm(s * s, w, w)  # 1x1 proj
-        stem_tokens += s * s
-    # --- resampler (4 layers over 64 latents + expert tokens) -----------
-    if stem_tokens:
-        m = v.resampler_latents + stem_tokens
-        for _ in range(v.resampler_layers):
-            f += mm(v.resampler_latents, w, w)      # q
-            f += 2 * mm(m, w, w)                    # k, v
-            f += 2 * mm(v.resampler_latents, m, w)  # scores + weighted sum
-            f += mm(v.resampler_latents, w, w)      # out
-            f += 2 * mm(v.resampler_latents, w, 4 * w)  # mlp
-    # --- ViT trunk -------------------------------------------------------
-    n = n_rgb + (v.resampler_latents if stem_tokens else 0)
-    per_block = (4 * mm(n, w, w)        # qkvo
-                 + 2 * mm(n, n, w)      # scores + weighted sum
-                 + 2 * mm(n, w, w)      # adaptor
-                 + 2 * mm(n, w, 4 * w))  # mlp
-    f += v.layers * per_block
+    enc = _encoder_flops_parts(cfg)
+    n = enc["n_tokens"]
+    f = enc["stems"] + enc["trunk_dense"] + enc["trunk_attn"] + enc["adaptors"]
     f *= batch  # everything above is per image
 
     # --- decoder ----------------------------------------------------------
@@ -211,6 +227,62 @@ def analytic_caption_flops(cfg, batch: int, prompt_len: int, max_length: int,
     f += steps * rows * per_step
     f += steps * n_layers * 2 * 2 * rows * n * dw  # cross-attn over enc tokens
     return f
+
+
+def analytic_train_flops(cfg, batch: int, seq_len: int, freeze: str) -> float:
+    """Model FLOPs of ONE training step (fwd + bwd + remat recompute),
+    itemized by freeze-mode region.
+
+    Accounting rules (standard dense-transformer arithmetic):
+      * parameterized matmul: fwd f, backward dX f + dW f (dW skipped for
+        frozen regions — train/step.py stop_gradient prunes it);
+      * attention score/weighted-sum contractions (no params): fwd f, bwd 2f;
+      * remat: the ViT trunk (models/vit.py:180) and all decoder layers
+        (models/roberta.py setup) are rematerialized in training — +1 fwd;
+      * fused LM-head+CE (ops/fused_ce.py, the TPU default): the custom_vjp
+        backward recomputes the vocab projection once — bwd 3f vs XLA's 2f;
+      * optimizer/elementwise/embedding FLOPs ignored (<1%).
+    Freeze regions follow train/optim.py: freeze_vision freezes the ViT
+    trunk qkvo/mlp (adaptors, stems, resampler stay trainable); freeze_lang
+    freezes decoder self-attn/mlp (cross-attn, adaptors, LM head stay)."""
+    d = cfg.decoder
+    dw = d.hidden_size
+    nl = d.num_hidden_layers
+    p = seq_len
+    mm = lambda rows, cin, cout: 2.0 * rows * cin * cout
+
+    enc = _encoder_flops_parts(cfg)
+    n = enc["n_tokens"]
+    vision_frozen = freeze in ("freeze_vision", "freeze_lang_vision")
+    lang_frozen = freeze in ("freeze_lang", "freeze_lang_vision")
+
+    from prismer_tpu.ops.fused_ce import use_fused_ce
+    lm_proj = mm(p, dw, dw) + mm(p, dw, d.vocab_size)
+    # (fwd, kind, trainable, remat); kind: 'dense' or 'attn'
+    regions = [
+        (enc["stems"], "dense", True, False),
+        (enc["trunk_dense"], "dense", not vision_frozen, True),
+        (enc["trunk_attn"], "attn", False, True),
+        (enc["adaptors"], "dense", True, True),
+        # decoder self qkvo + mlp (incl. the output layer)
+        ((nl + 1) * (4 * mm(p, dw, dw) + 2 * mm(p, dw, 4 * dw)),
+         "dense", not lang_frozen, True),
+        # causal self-attention (~half the square)
+        ((nl + 1) * 2 * 2 * p * p * dw / 2, "attn", False, True),
+        # cross q/out + K/V projection from encoder states
+        (nl * (2 * mm(p, dw, dw) + 2 * mm(n, d.vision_hidden_size, dw)),
+         "dense", True, True),
+        (nl * 2 * 2 * p * n * dw, "attn", False, True),
+        (nl * 2 * mm(p, dw, dw), "dense", True, True),  # decoder adaptors
+        (lm_proj, "dense", True, False),
+    ]
+    total = 0.0
+    for f, kind, trainable, remat in regions:
+        bwd = 2.0 * f if (kind == "attn" or trainable) else f
+        total += f + bwd + (f if remat else 0.0)
+    if use_fused_ce():
+        total += lm_proj  # custom_vjp backward recompute
+    return total * batch
 
 
 def peak_tflops(device) -> float:
@@ -381,7 +453,12 @@ def train_throughput(args):
         if best is None or ips > best[0]:
             best = (ips, b, t_step)
 
-    print(json.dumps({
+    flops = analytic_train_flops(cfg, best[1], seq_len, mode)
+    tflops = flops / best[2] / 1e12
+    peak = peak_tflops(jax.devices()[0])
+    mfu = round(tflops / peak, 4) if peak else None
+
+    out = {
         "metric": (f"{args.metric_model}_caption_{mode}_train_"
                    f"images_per_sec_per_chip"),
         "value": round(best[0], 2),
@@ -391,8 +468,49 @@ def train_throughput(args):
         "step_ms": round(best[2] * 1000, 1),
         "sweep": sweep,
         "resolution": cfg.vision.image_resolution,
+        "tflops_per_sec": round(tflops, 2),
+        "mfu": mfu,
         "relay_overhead_ms": round(overhead * 1000, 2),
-    }), flush=True)
+    }
+
+    if args.attribution:
+        # fwd / bwd+update attribution: time a loss-only program at the best
+        # batch (honest scalar readback), bwd+opt = step - fwd. An isolated
+        # optimizer-only program costs one more slow remote compile and the
+        # optax update is HBM-trivial next to the model, so it rides the
+        # bwd bucket.
+        b = best[1]
+        from prismer_tpu.models.prismer import Prismer
+        from prismer_tpu.data.device import materialize_experts
+
+        @jax.jit
+        def fwd_only(variables, batch):
+            experts = materialize_experts(batch["experts"])
+            per = model.apply(variables, experts, batch["input_ids"],
+                              batch["attention_mask"], batch["targets"],
+                              train=False, method=Prismer.forward_loss)
+            return jnp.mean(per)
+
+        v_infer = {"params": state2.params, "batch_stats": state2.batch_stats}
+        batch0 = make_batch(b, 101)
+        t0 = time.perf_counter()
+        float(fwd_only(v_infer, batch0))
+        print(f"# train fwd-only compile+first: "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+        fts = []
+        for r in range(max(args.repeats, 3)):
+            br = make_batch(b, 200 + r)
+            t0 = time.perf_counter()
+            float(fwd_only(v_infer, br))
+            fts.append(time.perf_counter() - t0)
+        t_fwd = max(min(fts) - overhead, 1e-9)
+        out["fwd_ms"] = round(t_fwd * 1000, 1)
+        out["bwd_opt_ms"] = round((best[2] - t_fwd) * 1000, 1)
+        print(f"# train attribution b{b}: fwd {t_fwd * 1000:.1f} ms, "
+              f"bwd+opt {(best[2] - t_fwd) * 1000:.1f} ms "
+              f"of {best[2] * 1000:.1f} ms", file=sys.stderr, flush=True)
+
+    print(json.dumps(out), flush=True)
 
 
 def main():
@@ -420,6 +538,10 @@ def main():
     ap.add_argument("--task", default="caption",
                     choices=["caption", "vqa", "train"])
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--attribution", action="store_true",
+                    help="--task train: also time a loss-only forward "
+                         "program and report fwd / bwd+opt split (one "
+                         "extra remote compile)")
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--iters", type=int, default=10,
                     help="pipeline iterations inside the timed program "

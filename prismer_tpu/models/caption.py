@@ -26,7 +26,7 @@ import numpy as np
 
 from prismer_tpu.models.generation import beam_search, rank_answers
 from prismer_tpu.models.prismer import Prismer
-from prismer_tpu.models.roberta import label_smoothed_loss
+
 from prismer_tpu.tokenizer import BPETokenizer
 
 CAPTION_MAX_TOKENS = 30  # prismer_caption.py:21
@@ -74,13 +74,13 @@ def caption_loss(model: Prismer, variables: Dict[str, Any],
     In train mode returns (loss, batch_stats_updates) — conv-stem BatchNorm
     running stats are functional state threaded by the train step."""
     cfg = model.cfg.decoder
-    out = model.apply(variables, experts, input_ids, attention_mask,
-                      train=train, rngs=rngs,
-                      mutable=["batch_stats"] if train else False)
-    logits, updates = out if train else (out, None)
     targets = caption_targets(input_ids, attention_mask, prompt_len,
                               cfg.pad_token_id)
-    per_sample = label_smoothed_loss(logits, targets)
+    out = model.apply(variables, experts, input_ids, attention_mask,
+                      targets, train=train, rngs=rngs,
+                      method=Prismer.forward_loss,
+                      mutable=["batch_stats"] if train else False)
+    per_sample, updates = out if train else (out, None)
     if weights is not None:
         per_sample = per_sample * weights
     loss = jnp.mean(per_sample)

@@ -500,10 +500,9 @@ def rank_answers(model: Prismer, variables: Dict[str, Any],
     # encoder states stay UNTILED: cross-K/V are projected once per sample
     # and broadcast over the k_test candidate rows (attend_grouped_full) —
     # tiling here re-projected them k_test times (~0.5 TFLOP/sample wasted)
-    out_logits = model.apply(variables, full_ids, full_mask,
-                             encoder_hidden_states, cross_groups=k_test,
-                             method=Prismer.decode_logits)
-    loss = label_smoothed_loss(out_logits, targets)
+    loss = model.apply(variables, full_ids, full_mask,
+                       encoder_hidden_states, targets, cross_groups=k_test,
+                       method=Prismer.decode_loss)
     denom = jnp.maximum(num_valid_targets(targets), 1)
     scores = (-loss / denom).reshape(b, k_test)
     best = jnp.argmax(scores, axis=1)

@@ -54,6 +54,25 @@ class Prismer(nn.Module):
                                  encoder_hidden_states, train=train,
                                  cross_groups=cross_groups)
 
+    def decode_loss(self, input_ids: jax.Array, attention_mask: jax.Array,
+                    encoder_hidden_states: jax.Array, targets: jax.Array,
+                    train: bool = False, cross_groups: int = 1) -> jax.Array:
+        """Per-sample summed label-smoothed CE straight from decoder
+        features — routes through the fused LM-head+CE kernel
+        (ops/fused_ce.py) when enabled, so the (B, L, V) logits never hit
+        HBM (reference loss spec: model/modules/roberta.py:383-387)."""
+        return self.text_decoder.per_sample_loss(
+            input_ids, attention_mask, encoder_hidden_states, targets,
+            train=train, cross_groups=cross_groups)
+
+    def forward_loss(self, experts: Dict[str, Any], input_ids: jax.Array,
+                     attention_mask: jax.Array, targets: jax.Array,
+                     train: bool = False) -> jax.Array:
+        """Encoder + decoder -> (B,) per-sample summed smoothed CE."""
+        enc = self.encode(experts, train=train)
+        return self.decode_loss(input_ids, attention_mask, enc, targets,
+                                train=train)
+
     def __call__(self, experts: Dict[str, Any], input_ids: jax.Array,
                  attention_mask: jax.Array, train: bool = False) -> jax.Array:
         """Encoder + decoder forward -> (B, L, vocab) logits."""

@@ -498,9 +498,9 @@ class RobertaCausalDecoder(nn.Module):
         self.lm_head = LMHead(c, dtype=self.dtype)
 
     # -- full sequence ----------------------------------------------------
-    def __call__(self, input_ids: jax.Array, attention_mask: jax.Array,
-                 encoder_hidden_states: jax.Array,
-                 train: bool = False, cross_groups: int = 1) -> jax.Array:
+    def _trunk(self, input_ids: jax.Array, attention_mask: jax.Array,
+               encoder_hidden_states: jax.Array, train: bool,
+               cross_groups: int) -> jax.Array:
         c = self.cfg
         position_ids = create_position_ids(input_ids, attention_mask, c.pad_token_id)
         hidden = self.embeddings(input_ids, position_ids, train=train)
@@ -508,8 +508,35 @@ class RobertaCausalDecoder(nn.Module):
         for layer in self.layers:
             hidden = layer(hidden, attention_mask, enc, train,
                            cross_groups)
-        hidden = self.output_layer(hidden, attention_mask, None, train, 1)
+        return self.output_layer(hidden, attention_mask, None, train, 1)
+
+    def __call__(self, input_ids: jax.Array, attention_mask: jax.Array,
+                 encoder_hidden_states: jax.Array,
+                 train: bool = False, cross_groups: int = 1) -> jax.Array:
+        hidden = self._trunk(input_ids, attention_mask,
+                             encoder_hidden_states, train, cross_groups)
         return self.lm_head(hidden, self.embeddings.word_embeddings)
+
+    def per_sample_loss(self, input_ids: jax.Array, attention_mask: jax.Array,
+                        encoder_hidden_states: jax.Array, targets: jax.Array,
+                        train: bool = False, cross_groups: int = 1
+                        ) -> jax.Array:
+        """Per-sample summed label-smoothed CE without materializing logits
+        when the fused LM-head+CE kernel is enabled (ops/fused_ce.py) —
+        training and rank pass-2 otherwise write + re-read a (B, L, V) fp32
+        logits tensor just to reduce it to (B,). Falls back to the exact
+        XLA reference path (lm_head -> label_smoothed_loss) off-TPU."""
+        from prismer_tpu.ops.fused_ce import (fused_label_smoothed_loss,
+                                              use_fused_ce)
+        hidden = self._trunk(input_ids, attention_mask,
+                             encoder_hidden_states, train, cross_groups)
+        if use_fused_ce():
+            h = self.lm_head.features(hidden).astype(self.dtype)
+            emb = self.embeddings.word_embeddings.astype(self.dtype)
+            return fused_label_smoothed_loss(h, emb, self.lm_head.bias,
+                                             targets)
+        logits = self.lm_head(hidden, self.embeddings.word_embeddings)
+        return label_smoothed_loss(logits, targets)
 
     def _serving_emb_t(self) -> Optional[jax.Array]:
         """Pre-transposed (D, V) tied embeddings from the serving-setup

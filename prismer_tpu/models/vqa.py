@@ -22,7 +22,7 @@ import numpy as np
 from prismer_tpu.models.caption import tokenize_answer_list
 from prismer_tpu.models.generation import beam_search, rank_answers
 from prismer_tpu.models.prismer import Prismer
-from prismer_tpu.models.roberta import label_smoothed_loss
+
 from prismer_tpu.tokenizer import BPETokenizer
 
 QUESTION_MAX_TOKENS = 35  # prismer_vqa.py:19
@@ -72,10 +72,11 @@ def vqa_loss(model: Prismer, variables: Dict[str, Any],
              rngs: Optional[Dict[str, jax.Array]] = None):
     """weights * per-sample summed CE, meaned (prismer_vqa.py:35-42)."""
     out = model.apply(variables, experts, input_ids, attention_mask,
-                      train=train, rngs=rngs,
+                      targets, train=train, rngs=rngs,
+                      method=Prismer.forward_loss,
                       mutable=["batch_stats"] if train else False)
-    logits, updates = out if train else (out, None)
-    loss = jnp.mean(weights * label_smoothed_loss(logits, targets))
+    per_sample, updates = out if train else (out, None)
+    loss = jnp.mean(weights * per_sample)
     return (loss, updates) if train else loss
 
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import optax
 
 from prismer_tpu.models.prismer import Prismer
-from prismer_tpu.models.roberta import label_smoothed_loss
+
 from prismer_tpu.train.optim import TRAIN
 from prismer_tpu.train.state import TrainState
 
@@ -49,11 +49,11 @@ def build_train_step(model: Prismer, tx: optax.GradientTransformation,
         variables = {"params": p, "batch_stats": batch_stats}
         rngs = {"dropout": dropout_rng, "instance": instance_rng}
         experts = materialize_experts(batch["experts"])
-        logits, mutated = model.apply(
+        per_sample, mutated = model.apply(
             variables, experts, batch["input_ids"],
-            batch["attention_mask"], train=True, rngs=rngs,
+            batch["attention_mask"], batch["targets"], train=True,
+            rngs=rngs, method=Prismer.forward_loss,
             mutable=["batch_stats"])
-        per_sample = label_smoothed_loss(logits, batch["targets"])
         if "weights" in batch:
             per_sample = per_sample * batch["weights"]
         return jnp.mean(per_sample), mutated.get("batch_stats", {})
@@ -81,10 +81,11 @@ def build_eval_loss_step(model: Prismer) -> Callable:
 
     def step(variables, batch):
         experts = materialize_experts(batch["experts"])
-        logits = model.apply(variables, experts,
-                             batch["input_ids"], batch["attention_mask"],
-                             train=False)
-        per_sample = label_smoothed_loss(logits, batch["targets"])
+        per_sample = model.apply(variables, experts,
+                                 batch["input_ids"],
+                                 batch["attention_mask"],
+                                 batch["targets"], train=False,
+                                 method=Prismer.forward_loss)
         if "weights" in batch:
             per_sample = per_sample * batch["weights"]
         return jnp.mean(per_sample)

@@ -126,19 +126,62 @@ def test_rouge_l_hand_computed():
     assert abs(rouge_l_sentence(cand, [ref, ref2]) - want2) < 1e-12
 
 
-def test_meteor_lite_properties():
+def test_meteor_properties():
     from prismer_tpu.evals.meteor import meteor_sentence
     cand = "a dog running in the park".split()
-    # perfect match: one chunk, penalty = 0.5 * (1/6)^3 -> ~1.0
+    # perfect match, METEOR 1.5 en params: m=6, ch=1, P=R=1, Fmean=1,
+    # penalty = 0.6 * (1/6)^0.2 = 0.419296 -> score 0.580704 (hand-computed)
     s_perfect = meteor_sentence(cand, [cand])
-    assert s_perfect > 0.99
+    assert abs(s_perfect - 0.580704) < 1e-5
     assert meteor_sentence(cand, ["totally different words entirely".split()]) == 0.0
-    # stem stage: 'running' matches 'run' via Porter stem
+    # stem stage: 'running' matches 'run' via Porter stem at weight 0.6
     s_stem = meteor_sentence(cand, ["a dog run in the park".split()])
-    assert s_stem > 0.9
+    assert 0.0 < s_stem < s_perfect
     # scrambled order -> more chunks -> lower score than in-order
     s_scrambled = meteor_sentence(cand, ["park the in running dog a".split()])
     assert 0.0 < s_scrambled < s_perfect
+
+
+def test_meteor_stem_weight_hand_computed():
+    # "dogs run" vs "dog running": both matches are stem-stage (w=0.6),
+    # all content words: P = R = 0.6, Fmean = 0.6,
+    # penalty = 0.6 * (1/2)^0.2 = 0.522330 -> score = 0.286602
+    from prismer_tpu.evals.meteor import meteor_sentence
+    s = meteor_sentence("dogs run".split(), ["dog running".split()])
+    assert abs(s - 0.286602) < 1e-5
+
+
+def test_meteor_alignment_minimizes_chunks():
+    # cand "cat dog cat" / ref "cat cat dog": leftmost-greedy alignment
+    # gives 3 chunks ((0,0),(1,2),(2,1)); the chunk-minimizing alignment
+    # (0,1),(1,2),(2,0) gives 2 — the jar's beam search must find it
+    from prismer_tpu.evals.meteor import segment_stats
+    st = segment_stats("cat dog cat".split(), "cat cat dog".split())
+    assert st["m_t"] == 3.0
+    assert st["chunks"] == 2.0
+
+
+def test_meteor_alignment_distance_tiebreak():
+    # equal matches and chunks -> prefer the smaller |i-j| distance
+    from prismer_tpu.evals.meteor import _align
+    assert _align("cat mouse".split(), "cat cat".split()) == [(0, 0)]
+
+
+def test_meteor_corpus_is_aggregated_stats_not_mean():
+    # seg1: "big dog" exact (m=2, ch=1): 1 - 0.6*(1/2)^0.2 = 0.477670
+    # seg2: "a very big dog" exact (m=4, ch=1): 1 - 0.6*(1/4)^0.2
+    #   = 0.545285
+    # aggregate stats: P=R=1, m=6, ch=2 -> penalty 0.6*(1/3)^0.2
+    #   = 0.481645 -> corpus 0.518355 (hand-computed); the mean of the
+    #   sentence scores (0.511478) would differ
+    from prismer_tpu.evals.meteor import meteor
+    cands = {1: "big dog", 2: "a very big dog"}
+    refs = {1: ["big dog"], 2: ["a very big dog"]}
+    corpus, scores = meteor(cands, refs)
+    assert abs(scores[1] - 0.477670) < 1e-5
+    assert abs(scores[2] - 0.545285) < 1e-5
+    assert abs(corpus - 0.518355) < 1e-5
+    assert abs(corpus - (scores[1] + scores[2]) / 2) > 1e-3
 
 
 def _caption_fixture():
@@ -194,4 +237,5 @@ def test_coco_eval_reports_rouge_and_meteor(tmp_path):
     results = [{"image_id": 1, "caption": "A dog running in the park."}]
     scores = coco_caption_eval(str(gt_path), results)
     assert scores["ROUGE_L"] > 0.99
-    assert scores["METEOR_lite"] > 0.99
+    # exact-match candidate, 6 tokens: METEOR 1.5 score 1 - 0.6*(1/6)^0.2
+    assert abs(scores["METEOR_lite"] - 0.580704) < 1e-4

@@ -118,6 +118,7 @@ def test_beam_search_kernel_mode_matches_xla():
     variables = model.init(jax.random.key(0), inputs, ids, mask)
     enc = model.apply(variables, inputs, method=Prismer.encode)
 
+    orig_impl = gen.LM_TOPK_IMPL
     rb.set_fused_decode("on")
     try:
         sv = prepare_serving_variables(model, variables)
@@ -155,5 +156,5 @@ def test_beam_search_kernel_mode_matches_xla():
         np.testing.assert_allclose(np.asarray(sc_k), np.asarray(sc_x),
                                    atol=1e-4)
     finally:
-        gen.LM_TOPK_IMPL = "xla"
+        gen.LM_TOPK_IMPL = orig_impl
         rb.set_fused_decode("auto")

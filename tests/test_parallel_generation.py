@@ -149,3 +149,55 @@ def test_fused_int8_kv_shard_map(setup):
         rb.set_kv_quant("off")
         rb.set_fused_decode("auto")
     np.testing.assert_array_equal(np.asarray(seqs_sh), np.asarray(seqs_1))
+
+
+def test_full_serving_default_stack_shard_map(setup):
+    """The EXACT serving default config — fused whole-step decode +
+    LM-head/top-2K kernel + in-kernel beam-cache reorder — composed under
+    shard_map on the 8-device mesh. Asserts the lm_topk kernel is actually
+    traced (not silently skipped by a default flip) and that the sharded
+    output equals the single-device run of the same stack exactly."""
+    import prismer_tpu.ops.lm_topk as lt
+    from prismer_tpu.models import generation as gen
+    from prismer_tpu.models import roberta as rb
+    from prismer_tpu.models.caption import build_sharded_generate_fn
+    from prismer_tpu.models.prismer import prepare_serving_variables
+
+    # shipped defaults: both kernels on (generation.py flag docstrings)
+    assert gen.LM_TOPK_IMPL == "kernel"
+    assert gen.BEAM_PERM_IMPL == "kernel"
+
+    model, cfg, variables, inputs, ids, mask = setup
+    mesh = make_mesh()
+    rb.set_fused_decode("on")
+    calls = []
+    orig = lt.lm_topk
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    lt.lm_topk = counting
+    try:
+        vs = prepare_serving_variables(model, variables)
+
+        def run_single(v, experts, p, m):
+            enc = model.apply(v, experts, method=Prismer.encode)
+            seqs, _ = beam_search(
+                model, v, enc, p, m, num_beams=3, max_length=10,
+                min_length=5, length_penalty=1.0,
+                eos_token_id=cfg.decoder.eos_token_id,
+                pad_token_id=cfg.decoder.pad_token_id)
+            return seqs
+
+        seqs_1 = jax.jit(run_single)(vs, inputs, ids, mask)
+        n_single = len(calls)
+        assert n_single > 0, "lm_topk kernel not traced single-device"
+        gen_fn = build_sharded_generate_fn(model, mesh, num_beams=3,
+                                           max_length=10, min_length=5)
+        seqs_sh = gen_fn(vs, inputs, ids, mask)
+        assert len(calls) > n_single, "lm_topk kernel not traced in shard_map"
+    finally:
+        lt.lm_topk = orig
+        rb.set_fused_decode("auto")
+    np.testing.assert_array_equal(np.asarray(seqs_sh), np.asarray(seqs_1))
