@@ -32,7 +32,15 @@ def materialize_experts(raw: Dict[str, Any], dtype=jnp.float32
     out: Dict[str, Any] = {}
     for exp, v in raw.items():
         name = canonical_expert(exp)
-        if isinstance(v, dict) and "ids" not in v:
+        if name == "rgb" and not isinstance(v, dict) and v.dtype == jnp.uint8:
+            # host ships raw uint8 frames (transform.RGB_DEVICE_NORM); the
+            # /255 + CLIP pixel normalization runs here as one fused f32
+            # expression (dataset/utils.py:66-67 semantics)
+            from prismer_tpu.data.transform import CLIP_MEAN, CLIP_STD
+            x = v.astype(dtype) / jnp.asarray(255.0, dtype)
+            out[name] = (x - jnp.asarray(CLIP_MEAN, dtype)) / jnp.asarray(
+                CLIP_STD, dtype)
+        elif isinstance(v, dict) and "ids" not in v:
             out[name] = v  # already materialized (idempotent)
         elif isinstance(v, dict):
             b = v["ids"].shape[0]

@@ -19,6 +19,7 @@ Output is NHWC numpy; id maps stay uint8 — in-painting happens on device
 from __future__ import annotations
 
 import math
+import os
 import random
 from typing import Dict, Optional, Tuple
 
@@ -27,6 +28,13 @@ from PIL import Image
 
 CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+# Ship RGB to the device as uint8 and fold the /255 + CLIP normalization
+# into materialize_experts (data/device.py): the host-side float32 convert
+# + two elementwise passes cost ~6 ms/record at 480px (measured, 1-core
+# host) and quadruple the host->device copy. Identical arithmetic runs as
+# one fused f32 expression on device. Opt out: PRISMER_RGB_DEVICE_NORM=0.
+RGB_DEVICE_NORM = os.environ.get("PRISMER_RGB_DEVICE_NORM", "1") != "0"
 
 LABEL_RESOLUTION = 224  # fixed (utils.py:43)
 
@@ -104,8 +112,11 @@ class Transform:
                               for e, l in labels.items()}
             image, labels = self.randaugment(image, labels)
 
-        rgb = np.asarray(image, np.float32) / 255.0
-        rgb = (rgb - CLIP_MEAN) / CLIP_STD
+        if RGB_DEVICE_NORM:
+            rgb = np.asarray(image, np.uint8)
+        else:
+            rgb = np.asarray(image, np.float32) / 255.0
+            rgb = (rgb - CLIP_MEAN) / CLIP_STD
         out: Dict[str, np.ndarray] = {"rgb": rgb}
 
         if labels is not None:

@@ -66,7 +66,26 @@ def test_transform_eval_shapes_and_normalization():
     assert out["seg_coco"].dtype == np.uint8
     assert out["seg_coco"][0, 0] == 7
     want = (124 / 255 - CLIP_MEAN[0]) / CLIP_STD[0]
-    np.testing.assert_allclose(out["rgb"][0, 0, 0], want, atol=1e-5)
+    import prismer_tpu.data.transform as T
+    if T.RGB_DEVICE_NORM:
+        # default path: raw uint8 out of the transform, CLIP normalization
+        # fused into the device materialization
+        assert out["rgb"].dtype == np.uint8
+        assert out["rgb"][0, 0, 0] == 124
+        dev = materialize_experts({"rgb": jnp.asarray(out["rgb"][None])})
+        np.testing.assert_allclose(np.asarray(dev["rgb"])[0, 0, 0, 0], want,
+                                   atol=1e-5)
+    else:
+        np.testing.assert_allclose(out["rgb"][0, 0, 0], want, atol=1e-5)
+
+
+def test_rgb_device_norm_matches_host_norm():
+    """uint8-to-device path == the host float path, elementwise."""
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (2, 16, 16, 3), dtype=np.uint8)
+    host = (u8.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+    dev = materialize_experts({"rgb": jnp.asarray(u8)})["rgb"]
+    np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-6, atol=1e-6)
 
 
 def test_transform_train_id_values_preserved():
@@ -240,3 +259,30 @@ def test_loader_process_workers_match_thread_workers():
     for tb, pb in zip(thread_batches, proc_batches):
         np.testing.assert_array_equal(tb["x"], pb["x"])
         assert tb["name"] == pb["name"]
+
+
+def test_label_cache_roundtrip(tmp_path, monkeypatch):
+    """PRISMER_LABEL_CACHE: second open returns identical pixels from the
+    .npy cache; a touched (newer) PNG invalidates it."""
+    from prismer_tpu.data.labels import _open_label_png
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 130, (32, 48), dtype=np.uint8)
+    png = tmp_path / "lbl.png"
+    Image.fromarray(arr).save(png)
+    monkeypatch.setenv("PRISMER_LABEL_CACHE", str(tmp_path / "cache"))
+    a1 = np.asarray(_open_label_png(str(png), "L"))
+    # cache file exists now
+    import glob
+    assert glob.glob(str(tmp_path / "cache" / "**" / "*.npy"),
+                     recursive=True)
+    a2 = np.asarray(_open_label_png(str(png), "L"))
+    np.testing.assert_array_equal(a1, arr)
+    np.testing.assert_array_equal(a2, arr)
+    # newer PNG invalidates the stale cache entry
+    arr2 = rng.integers(0, 130, (32, 48), dtype=np.uint8)
+    import time as _t
+    _t.sleep(0.01)
+    Image.fromarray(arr2).save(png)
+    os.utime(png)
+    a3 = np.asarray(_open_label_png(str(png), "L"))
+    np.testing.assert_array_equal(a3, arr2)

@@ -102,7 +102,14 @@ def main():
     ap.add_argument("--res", type=int, default=480)
     ap.add_argument("--appetite", type=float, default=190.0,
                     help="model img/s/chip from BENCH (consumption target)")
+    ap.add_argument("--label_cache", action="store_true",
+                    help="enable PRISMER_LABEL_CACHE (decoded-label .npy "
+                         "cache) and measure the warm-cache epoch")
     args = ap.parse_args()
+
+    if args.label_cache:
+        cache_dir = tempfile.mkdtemp(prefix="prismer_label_cache_")
+        os.environ["PRISMER_LABEL_CACHE"] = cache_dir
 
     from prismer_tpu.data.datasets import Caption
     from prismer_tpu.data.loader import create_loader
@@ -115,8 +122,9 @@ def main():
                "dataset": "coco", "prefix": "A picture of"}
         ds = Caption(cfg, train=True)
 
-        # warm caches (PNG/JPEG headers, feature tables)
-        for i in range(4):
+        # warm caches (PNG/JPEG headers, feature tables; with --label_cache
+        # this pass also populates the decoded-label .npy cache)
+        for i in range(args.n if args.label_cache else 4):
             ds[i]
 
         cpus = len(os.sched_getaffinity(0))
@@ -163,6 +171,7 @@ def main():
         "cpus": cpus,
         "stage_ms": {k: round(v, 2) for k, v in stage_ms.items()},
         "model_appetite_img_s": args.appetite,
+        "label_cache": args.label_cache,
         "feeds_chip": best >= args.appetite,
         "cores_needed": int(np.ceil(args.appetite / max(best / cpus, 1e-9))),
     }
