@@ -42,6 +42,7 @@ the dots still run in full fp32.)
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -397,6 +398,13 @@ def _flash_backward(q, k, v, key_mask, causal, lse, o, do,
         interpret = jax.default_backend() == "cpu"
     b, h, lq, d = q.shape
     lk = k.shape[2]
+    # backward-specific block overrides for sweeps (trace-time env, same
+    # convention as PRISMER_FLASH_BH; tools/bench_flash_bwd.py): the
+    # forward-swept whole-QxK policy is the default here too
+    if block_q is None and os.environ.get("PRISMER_FLASH_BWD_BQ"):
+        block_q = int(os.environ["PRISMER_FLASH_BWD_BQ"])
+    if block_k is None and os.environ.get("PRISMER_FLASH_BWD_BK"):
+        block_k = int(os.environ["PRISMER_FLASH_BWD_BK"])
     block_q, block_k = _block_sizes(lq, lk, block_q, block_k)
     qf, kf, vf, maskf, lq_p, lk_p = _pad_inputs(q, k, v, key_mask,
                                                 block_q, block_k)
@@ -406,7 +414,13 @@ def _flash_backward(q, k, v, key_mask, causal, lse, o, do,
     delta = jnp.pad(delta, ((0, 0), (0, 0), (0, lq_p - lq))
                     ).reshape(b * h, lq_p)
     delta = jnp.broadcast_to(delta[..., None], (b * h, lq_p, 8))
-    # lse is already (BH, lq_p, 8) from the forward
+    # lse comes padded to the FORWARD's q-block multiple; re-fit when a
+    # backward override picks a different block_q (pad rows carry do=0 and
+    # delta=0, so their lse value is inert in both kernels)
+    if lse.shape[1] > lq_p:
+        lse = lse[:, :lq_p]
+    elif lse.shape[1] < lq_p:
+        lse = jnp.pad(lse, ((0, 0), (0, lq_p - lse.shape[1]), (0, 0)))
 
     scale = 1.0 / np.sqrt(d)
     dq = pl.pallas_call(
