@@ -42,6 +42,7 @@ nominal peak).
 import argparse
 import functools
 import json
+import os
 import sys
 import time
 
@@ -277,10 +278,11 @@ def analytic_train_flops(cfg, batch: int, seq_len: int, freeze: str) -> float:
         (lm_proj, "dense", True, False),
     ]
     total = 0.0
+    remat_on = os.environ.get("PRISMER_REMAT") != "0"
     for f, kind, trainable, remat in regions:
         bwd = 2.0 * f if (kind == "attn" or trainable) else f
-        total += f + bwd + (f if remat else 0.0)
-    if use_fused_ce():
+        total += f + bwd + (f if (remat and remat_on) else 0.0)
+    if use_fused_ce(train=True):
         total += lm_proj  # custom_vjp backward recompute
     return total * batch
 

@@ -98,6 +98,15 @@ BEAM_PERM_IMPL = os.environ.get("PRISMER_BEAM_PERM", "kernel")
 # (tools/check_lm_topk_tpu.py; requires the Precision.HIGHEST selector fix).
 LM_TOPK_IMPL = os.environ.get("PRISMER_LM_TOPK", "kernel")
 
+# Beam bookkeeping implementation, bound at import (trace-time flag, A/B
+# via separate processes). 'kernel' runs the whole between-steps update
+# (EOS retirement, continuation top-k, seq appends, done freezes, flat
+# beam permutation) as ONE pallas kernel (ops/beam_update.py) instead of
+# ~30 tiny latency-bound XLA ops; bit-identical to the XLA path
+# (tests/test_beam_update.py pins it, and every beam-search test exercises
+# it — interpret-mode on CPU).
+BEAM_UPDATE_IMPL = os.environ.get("PRISMER_BEAM_UPDATE", "kernel")
+
 
 def _permute_cache_rows(x: jax.Array, flat_beam: jax.Array) -> jax.Array:
     """Reorder axis 2 (the N = B*K row axis) of a (NL, T, N, D) cache by
@@ -262,6 +271,72 @@ def lazy_top_candidates(logits: jax.Array, alive_scores: jax.Array, kk: int,
             jnp.stack(toks, axis=1).astype(jnp.int32))
 
 
+def beam_bookkeeping(top_scores: jax.Array, top_beam: jax.Array,
+                     top_token: jax.Array, alive_seqs: jax.Array,
+                     alive_scores: jax.Array, finished_seqs: jax.Array,
+                     finished_scores: jax.Array, index: jax.Array,
+                     pen: jax.Array, *, eos_token_id: int, pad_token_id: int
+                     ) -> Tuple[jax.Array, ...]:
+    """XLA beam bookkeeping: everything between candidate selection and the
+    decoder step. top_*: (B, 2K); alive/finished seqs (B, K, T), scores
+    (B, K); index: scalar write position; pen: cur_len ** length_penalty.
+
+    Returns (new_alive_seqs, new_alive_scores, new_finished_seqs,
+    new_finished_scores, new_tokens (B, K), flat_beam (B, K)). The pallas
+    twin (ops/beam_update.beam_update) is pinned bit-identical to this."""
+    b, k, t = alive_seqs.shape
+    is_eos = top_token == eos_token_id
+    rank = jnp.broadcast_to(jnp.arange(2 * k)[None, :], (b, 2 * k))
+
+    # done rule on the OLD state (generation.batch_done)
+    worst_finished = jnp.min(finished_scores, axis=1)
+    best_alive = jnp.max(alive_scores, axis=1)
+    done_now = worst_finished >= best_alive / pen
+
+    # --- retire EOS candidates within top-K rank -----------------------
+    pen_scores = top_scores / pen
+    fin_cand_valid = is_eos & (rank < k) & ~done_now[:, None]
+    fin_cand_scores = jnp.where(fin_cand_valid, pen_scores, NEG_INF)
+    fin_cand_seqs = _gather_beams(alive_seqs, top_beam)     # (B, 2K, T)
+    # write the EOS at position index
+    fin_cand_seqs = jax.lax.dynamic_update_slice_in_dim(
+        fin_cand_seqs,
+        jnp.full((b, 2 * k, 1), eos_token_id, jnp.int32),
+        index, axis=2)
+
+    merged_scores = jnp.concatenate(
+        [finished_scores, fin_cand_scores], axis=1)         # (B, 3K)
+    merged_seqs = jnp.concatenate(
+        [finished_seqs, fin_cand_seqs], axis=1)             # (B, 3K, T)
+    new_fin_scores, fin_idx = jax.lax.top_k(merged_scores, k)
+    new_fin_seqs = _gather_beams(merged_seqs, fin_idx)
+
+    # --- continue with top-K non-EOS candidates ------------------------
+    cont_scores = jnp.where(is_eos, NEG_INF, top_scores)
+    new_alive_scores, cont_idx = jax.lax.top_k(cont_scores, k)  # (B, K)
+    new_alive_beam = jnp.take_along_axis(top_beam, cont_idx, axis=1)
+    new_tokens = jnp.take_along_axis(top_token, cont_idx, axis=1)
+
+    new_alive_seqs = _gather_beams(alive_seqs, new_alive_beam)
+    new_alive_seqs = jax.lax.dynamic_update_slice_in_dim(
+        new_alive_seqs, new_tokens[:, :, None].astype(jnp.int32),
+        index, axis=2)
+
+    # freeze state for done samples
+    keep = done_now[:, None]
+    new_alive_scores = jnp.where(keep, alive_scores, new_alive_scores)
+    new_alive_seqs = jnp.where(keep[:, :, None], alive_seqs,
+                               new_alive_seqs)
+    new_fin_scores = jnp.where(keep, finished_scores, new_fin_scores)
+    new_fin_seqs = jnp.where(keep[:, :, None], finished_seqs,
+                             new_fin_seqs)
+    new_tokens = jnp.where(keep, pad_token_id, new_tokens)
+
+    flat_beam = new_alive_beam + jnp.arange(b)[:, None] * k  # (B, K)
+    return (new_alive_seqs, new_alive_scores, new_fin_seqs, new_fin_scores,
+            new_tokens, flat_beam)
+
+
 def beam_search(model: Prismer, variables: Dict[str, Any],
                 encoder_hidden_states: jax.Array, prompt_ids: jax.Array,
                 prompt_mask: jax.Array, *, num_beams: int, max_length: int,
@@ -345,57 +420,33 @@ def beam_search(model: Prismer, variables: Dict[str, Any],
                 st.logits, st.alive_scores, 2 * k, eos_token_id,
                 st.index < min_length)
 
-        is_eos = top_token == eos_token_id
-        rank = jnp.broadcast_to(jnp.arange(2 * k)[None, :], (b, 2 * k))
-
-        done_now = batch_done(st)
-
-        # --- retire EOS candidates within top-K rank -----------------------
         cur_len = st.index.astype(jnp.float32)
-        pen_scores = top_scores / (cur_len ** length_penalty)
-        fin_cand_valid = is_eos & (rank < k) & ~done_now[:, None]
-        fin_cand_scores = jnp.where(fin_cand_valid, pen_scores, NEG_INF)
-        fin_cand_seqs = _gather_beams(st.alive_seqs, top_beam)  # (B,2K,T)
-        # write the EOS at position index
-        fin_cand_seqs = jax.lax.dynamic_update_slice_in_dim(
-            fin_cand_seqs,
-            jnp.full((b, 2 * k, 1), eos_token_id, jnp.int32),
-            st.index, axis=2)
-
-        merged_scores = jnp.concatenate(
-            [st.finished_scores, fin_cand_scores], axis=1)  # (B, 3K)
-        merged_seqs = jnp.concatenate(
-            [st.finished_seqs, fin_cand_seqs], axis=1)      # (B, 3K, T)
-        new_fin_scores, fin_idx = jax.lax.top_k(merged_scores, k)
-        new_fin_seqs = _gather_beams(merged_seqs, fin_idx)
-
-        # --- continue with top-K non-EOS candidates ------------------------
-        cont_scores = jnp.where(is_eos, NEG_INF, top_scores)
-        new_alive_scores, cont_idx = jax.lax.top_k(cont_scores, k)  # (B, K)
-        new_alive_beam = jnp.take_along_axis(top_beam, cont_idx, axis=1)
-        new_tokens = jnp.take_along_axis(top_token, cont_idx, axis=1)
-
-        new_alive_seqs = _gather_beams(st.alive_seqs, new_alive_beam)
-        new_alive_seqs = jax.lax.dynamic_update_slice_in_dim(
-            new_alive_seqs, new_tokens[:, :, None].astype(jnp.int32),
-            st.index, axis=2)
-
-        # freeze state for done samples
-        keep = done_now[:, None]
-        new_alive_scores = jnp.where(keep, st.alive_scores, new_alive_scores)
-        new_alive_seqs = jnp.where(keep[:, :, None], st.alive_seqs,
-                                   new_alive_seqs)
-        new_fin_scores = jnp.where(keep, st.finished_scores, new_fin_scores)
-        new_fin_seqs = jnp.where(keep[:, :, None], st.finished_seqs,
-                                 new_fin_seqs)
-        new_tokens = jnp.where(keep, pad_token_id, new_tokens)
+        pen = cur_len ** length_penalty
+        args = (top_scores, top_beam, top_token)
+        if BEAM_UPDATE_IMPL == "kernel":
+            # whole bookkeeping step as ONE pallas kernel — the (B,K,T) /
+            # (N,T) views are the same bytes (free bitcast reshapes)
+            from prismer_tpu.ops.beam_update import beam_update
+            (na_seqs, new_alive_scores, nf_seqs, new_fin_scores, new_tokens,
+             flat_bk) = beam_update(
+                *args, st.alive_seqs.reshape(b * k, t), st.alive_scores,
+                st.finished_seqs.reshape(b * k, t), st.finished_scores,
+                st.index, pen, eos_token_id=eos_token_id,
+                pad_token_id=pad_token_id)
+            new_alive_seqs = na_seqs.reshape(b, k, t)
+            new_fin_seqs = nf_seqs.reshape(b, k, t)
+        else:
+            (new_alive_seqs, new_alive_scores, new_fin_seqs, new_fin_scores,
+             new_tokens, flat_bk) = beam_bookkeeping(
+                *args, st.alive_seqs, st.alive_scores, st.finished_seqs,
+                st.finished_scores, st.index, pen,
+                eos_token_id=eos_token_id, pad_token_id=pad_token_id)
 
         # --- reorder cache and take one decode step ------------------------
         # only the self-attention K/V move with beams; cross K/V rows are
         # identical within a sample's beam group (reordering them would be a
         # multi-hundred-MB no-op every step)
-        flat_beam = (new_alive_beam
-                     + jnp.arange(b)[:, None] * k).reshape(-1)  # (B*K,)
+        flat_beam = flat_bk.reshape(-1)                         # (B*K,)
         perm = None
         if "self_k_tn" in st.cache:  # fused layout (NL, T, N, D): N = axis 2
             if BEAM_PERM_IMPL == "kernel":

@@ -55,6 +55,25 @@ ACTIVATIONS: dict[str, Callable[[jax.Array], jax.Array]] = {
 }
 
 
+def _ln_one_pass() -> bool:
+    """One-pass LN stats (E[x^2]-E[x]^2) vs the two-pass definition.
+
+    The two-pass form needs x AFTER the mean is known, which on TPU makes XLA
+    materialize an fp32 copy of the bf16 activations (the 0.42 ms/instance
+    `convert_reduce_fusion`s in the b24 encode trace — ~20 ms/encode). The
+    one-pass form lets both moments come from fused bf16->f32 reduce reads and
+    the normalize re-read bf16, so no f32 copy ever hits HBM. Numerics: fp32
+    cancellation costs ~5e-3 absolute on y when |mean|~100 (worst observed
+    CLIP activations; measured, tests/test_layers.py) — below the bf16 output
+    quantization (~8e-3). Flag: PRISMER_LN_ONEPASS=0/1 (default: on for TPU,
+    off on CPU — keeps CPU oracle-parity tests on the exact definition)."""
+    import os
+    env = os.environ.get("PRISMER_LN_ONEPASS")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() != "cpu"
+
+
 def fp32_layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
                     eps: float = 1e-5) -> jax.Array:
     """LayerNorm computed in fp32, result cast back to x.dtype (utils.py:14-19).
@@ -64,8 +83,19 @@ def fp32_layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
     trace showed 27 ms of LN fusions, but those overlap with other device
     work, so replacing them with pallas_calls (which serialize at the
     custom-call boundary) buys nothing. Kept as a documented experiment;
-    this XLA formulation stays the production path."""
+    the XLA formulations below stay the production path (see _ln_one_pass
+    for the TPU-default stats formulation)."""
     orig_dtype = x.dtype
+    if _ln_one_pass():
+        # both reductions read the (possibly bf16) input directly with the
+        # convert fused into the reduce; no fp32 copy of x is materialized
+        mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+        msq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1,
+                       keepdims=True)
+        var = jnp.maximum(msq - jnp.square(mean), 0.0)
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(orig_dtype)
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)

@@ -490,7 +490,12 @@ class RobertaCausalDecoder(nn.Module):
         # __call__ (the training path) is rematerialized per layer to trade
         # FLOPs for HBM; the cached decode methods are untouched.
         # `train` (arg 4 counting self) is a static python bool.
-        layer_cls = nn.remat(DecoderLayer, static_argnums=(4, 5))
+        # PRISMER_REMAT=0 disables remat everywhere (cost-measurement knob:
+        # full-block remat re-runs the whole forward in backward, ~+1/3
+        # FLOPs — whether HBM pressure actually pays for that on a 16 GB
+        # chip at real batch sizes is an A/B question, not a given).
+        layer_cls = (DecoderLayer if os.environ.get("PRISMER_REMAT") == "0"
+                     else nn.remat(DecoderLayer, static_argnums=(4, 5)))
         self.layers = [layer_cls(c, with_cross=True, dtype=self.dtype,
                                  name=f"layers_{i}")
                        for i in range(c.num_hidden_layers)]
@@ -530,7 +535,7 @@ class RobertaCausalDecoder(nn.Module):
                                               use_fused_ce)
         hidden = self._trunk(input_ids, attention_mask,
                              encoder_hidden_states, train, cross_groups)
-        if use_fused_ce():
+        if use_fused_ce(train=train):
             h = self.lm_head.features(hidden).astype(self.dtype)
             emb = self.embeddings.word_embeddings.astype(self.dtype)
             return fused_label_smoothed_loss(h, emb, self.lm_head.bias,

@@ -178,7 +178,11 @@ class VisionTransformer(nn.Module):
         block = ResidualAttentionBlock
         if train:
             # rematerialize trunk blocks in training to trade FLOPs for HBM
-            block = nn.remat(ResidualAttentionBlock)
+            # (PRISMER_REMAT=0 disables — cost-measurement knob, see
+            # roberta.py setup)
+            import os
+            if os.environ.get("PRISMER_REMAT") != "0":
+                block = nn.remat(ResidualAttentionBlock)
         for i in range(cfg.layers):
             x = block(num_heads=cfg.heads, dtype=self.dtype,
                       name=f"resblocks_{i}")(x)

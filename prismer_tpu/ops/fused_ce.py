@@ -54,7 +54,9 @@ _MININF = float("-inf")
 # Trace-time flag, same convention as roberta._FUSED_DECODE: 'auto' enables
 # the kernel on TPU backends only (the CPU interpreter is much slower than
 # plain XLA at real vocab sizes); tests force it with set_fused_ce.
-_FUSED_CE: str = os.environ.get("PRISMER_FUSED_CE", "auto")
+_FUSED_CE: str = {"1": "on", "0": "off"}.get(
+    os.environ.get("PRISMER_FUSED_CE", "auto"),
+    os.environ.get("PRISMER_FUSED_CE", "auto"))
 
 
 def set_fused_ce(mode: str) -> None:
@@ -64,7 +66,15 @@ def set_fused_ce(mode: str) -> None:
     _FUSED_CE = mode
 
 
-def use_fused_ce() -> bool:
+def use_fused_ce(train: bool = False) -> bool:
+    """auto: kernel on TPU (all surfaces). The `train` split exists so the
+    training default can diverge from the forward-only surfaces (eval loss,
+    VQA rank pass-2) once a VALID same-session train A/B lands — the first
+    attempt (2026-08-19) was void: the harness passed PRISMER_FUSED_CE=1/0
+    before the 1/0 aliases existed, so BOTH sides ran the XLA path, and the
+    32% spread it 'measured' (47.2 vs 62.3 img/s) was host-CPU contention
+    from concurrent pytest runs on this 1-core host — never run CPU jobs
+    alongside a TPU bench."""
     if _FUSED_CE == "auto":
         return jax.default_backend() == "tpu"
     return _FUSED_CE == "on"

@@ -47,6 +47,29 @@ def test_fp32_layer_norm_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-5)
 
 
+def test_layer_norm_one_pass_matches_two_pass(rng, monkeypatch):
+    # one-pass stats (TPU default) vs the exact two-pass definition, at the
+    # cancellation-hostile offset (|mean| ~ 100 >> std): worst-case fp32
+    # error on var is ~1e-3 absolute -> ~5e-4 on y, inside bf16 resolution
+    x = (rng.standard_normal((2, 8, 64)) + 100.0).astype(np.float32)
+    scale = rng.standard_normal(64).astype(np.float32)
+    bias = rng.standard_normal(64).astype(np.float32)
+    monkeypatch.setenv("PRISMER_LN_ONEPASS", "0")
+    want = layers.fp32_layer_norm(jnp.asarray(x), jnp.asarray(scale),
+                                  jnp.asarray(bias))
+    monkeypatch.setenv("PRISMER_LN_ONEPASS", "1")
+    got = layers.fp32_layer_norm(jnp.asarray(x), jnp.asarray(scale),
+                                 jnp.asarray(bias))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-2)
+    # bf16 activations: identical after output quantization
+    xb = jnp.asarray(x, dtype=jnp.bfloat16)
+    got_b = layers.fp32_layer_norm(xb, jnp.asarray(scale), jnp.asarray(bias))
+    monkeypatch.setenv("PRISMER_LN_ONEPASS", "0")
+    want_b = layers.fp32_layer_norm(xb, jnp.asarray(scale), jnp.asarray(bias))
+    np.testing.assert_allclose(np.asarray(got_b, np.float32),
+                               np.asarray(want_b, np.float32), atol=0.02)
+
+
 def test_layer_norm_bf16_stays_fp32_inside(rng):
     # bf16 input with a large offset: fp32 islands keep the result finite/accurate
     x = (rng.standard_normal((2, 8, 32)) + 100.0).astype(np.float32)
