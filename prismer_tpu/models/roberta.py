@@ -492,8 +492,9 @@ class RobertaCausalDecoder(nn.Module):
         # `train` (arg 4 counting self) is a static python bool.
         # PRISMER_REMAT=0 disables remat everywhere (cost-measurement knob:
         # full-block remat re-runs the whole forward in backward, ~+1/3
-        # FLOPs — whether HBM pressure actually pays for that on a 16 GB
-        # chip at real batch sizes is an A/B question, not a given).
+        # FLOPs). A/B answered 2026-08-19: remat=0 RESOURCE_EXHAUSTEDs HBM
+        # at the b16/480px fine-tune shape on a 16 GB chip — remat is
+        # load-bearing at real batch sizes, not a tunable.
         layer_cls = (DecoderLayer if os.environ.get("PRISMER_REMAT") == "0"
                      else nn.remat(DecoderLayer, static_argnums=(4, 5)))
         self.layers = [layer_cls(c, with_cross=True, dtype=self.dtype,

@@ -67,14 +67,16 @@ def set_fused_ce(mode: str) -> None:
 
 
 def use_fused_ce(train: bool = False) -> bool:
-    """auto: kernel on TPU (all surfaces). The `train` split exists so the
-    training default can diverge from the forward-only surfaces (eval loss,
-    VQA rank pass-2) once a VALID same-session train A/B lands — the first
-    attempt (2026-08-19) was void: the harness passed PRISMER_FUSED_CE=1/0
+    """auto: kernel on TPU (all surfaces), including training. Valid
+    same-session train A/B (2026-08-19, b16/480px freeze_vision, idle host):
+    CE-on 59.5 img/s vs CE-off 59.0 — parity-to-slightly-better on time, and
+    the (B, L, V) fp32 logits never hit HBM. (The first A/B attempt that
+    'measured' a 32% loss was void: the harness passed PRISMER_FUSED_CE=1/0
     before the 1/0 aliases existed, so BOTH sides ran the XLA path, and the
-    32% spread it 'measured' (47.2 vs 62.3 img/s) was host-CPU contention
-    from concurrent pytest runs on this 1-core host — never run CPU jobs
-    alongside a TPU bench."""
+    spread was host-CPU contention from concurrent pytest runs on this
+    1-core host — never run CPU jobs alongside a TPU bench.) The `train`
+    split stays so the surfaces can diverge if a future shape flips the
+    verdict."""
     if _FUSED_CE == "auto":
         return jax.default_backend() == "tpu"
     return _FUSED_CE == "on"

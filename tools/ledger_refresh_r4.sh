@@ -21,5 +21,5 @@ timeout 2400 python bench.py --task train --freeze freeze_lang_vision --resoluti
 stamp train-freeze-none-b16
 timeout 2400 python bench.py --task train --freeze none --batch 16 --skip-baseline
 stamp prismer-huge
-timeout 2400 python bench.py --model prismer_huge --batches 4 8 --skip-baseline --repeats 3
+timeout 4800 python bench.py --model prismer_huge --batches 4 8 --skip-baseline --repeats 3
 stamp done
