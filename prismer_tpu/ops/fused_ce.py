@@ -67,18 +67,23 @@ def set_fused_ce(mode: str) -> None:
 
 
 def use_fused_ce(train: bool = False) -> bool:
-    """auto: kernel on TPU (all surfaces), including training. Valid
-    same-session train A/B (2026-08-19, b16/480px freeze_vision, idle host):
-    CE-on 59.5 img/s vs CE-off 59.0 — parity-to-slightly-better on time, and
-    the (B, L, V) fp32 logits never hit HBM. (The first A/B attempt that
-    'measured' a 32% loss was void: the harness passed PRISMER_FUSED_CE=1/0
-    before the 1/0 aliases existed, so BOTH sides ran the XLA path, and the
-    spread was host-CPU contention from concurrent pytest runs on this
-    1-core host — never run CPU jobs alongside a TPU bench.) The `train`
-    split stays so the surfaces can diverge if a future shape flips the
-    verdict."""
+    """auto: kernel on TPU for TRAINING only; XLA for forward-only surfaces
+    (VQA rank pass-2, eval loss). Both verdicts are same-session idle-host
+    A/Bs (2026-08-19):
+      * train b16/480px freeze_vision: CE-on 59.5 vs CE-off 59.0 img/s —
+        parity-to-slightly-better on time, and the (B, L, V) fp32 logits
+        never hit HBM in either direction of the backward.
+      * VQA rank p50: CE-on 10.58 vs CE-off 6.77 ms/image — the vocab-
+        blocked kernel LOSES 56% on the forward-only pass, where XLA's one
+        big (B*k*L, D)x(D, V) MXU matmul + fused reduce beats VMEM-resident
+        blocking and the (B*k, L, V) materialization is transient anyway.
+    (The first train A/B that 'measured' a 32% loss was void: the harness
+    passed PRISMER_FUSED_CE=1/0 before the 1/0 aliases existed, so BOTH
+    sides ran the XLA path, and the spread was host-CPU contention from
+    concurrent pytest runs on this 1-core host.)
+    PRISMER_FUSED_CE=on/off still forces both surfaces together."""
     if _FUSED_CE == "auto":
-        return jax.default_backend() == "tpu"
+        return train and jax.default_backend() == "tpu"
     return _FUSED_CE == "on"
 
 
