@@ -15,7 +15,7 @@ timeout 2400 python bench.py --model prismer_large --batches 8 16 --skip-baselin
 stamp vqa-base
 timeout 2400 python bench.py --task vqa --skip-baseline
 stamp train-freeze-vision-b16-480
-timeout 2400 python bench.py --task train --batch 16 --skip-baseline
+timeout 2400 python bench.py --task train --batch 16 --skip-baseline --attribution
 stamp train-pretrain-b32-224
 timeout 2400 python bench.py --task train --freeze freeze_lang_vision --resolution 224 --batch 32 --skip-baseline
 stamp train-freeze-none-b16
