@@ -198,6 +198,37 @@ def _block_sizes(lq: int, lk: int, block_q: Optional[int] = None,
     return bq, bk
 
 
+def _bwd_block_sizes(lq: int, lk: int, block_q: Optional[int] = None,
+                     block_k: Optional[int] = None):
+    """Backward-specific block policy, swept on the v5e at the encoder's
+    hot train shape (16x12x964x64 bf16, tools/bench_flash_bwd.py,
+    fwd+bwd ms/step, 2026-08-19 session):
+
+        bq x bk   968x1024  1024x1024  1024x512  512x512  256x1024  XLA
+        ms/step      7.989      6.205     4.726    6.392     4.882  13.197
+
+    Two findings diverge from the forward policy (whole-Q x whole-K):
+      1. A 968-row q block (8-aligned but not MXU-tile-aligned) loses 22%
+         to padding q up to the full 1024 tile, despite 6% wasted rows —
+         the dkv kernel's dot_generals want tile-aligned contraction dims.
+      2. bk=512 beats whole-K 1024: the dq kernel re-reads K/V per q-block
+         anyway, and halving the k block halves the (BQ, BK) score/ds
+         intermediates that the backward materializes twice (p and ds),
+         relieving VMEM pressure on the critical path.
+
+    Policy: round big q up to the 1024 tile (lq > 512); split k in half
+    when the 128-padded K length is a multiple of 512 above 512. Shapes
+    outside the measured regime fall back to the forward policy."""
+    if block_q is None:
+        bq8 = max(8, -(-lq // 8) * 8)
+        block_q = 1024 if 512 < bq8 else None
+    if block_k is None:
+        lk_p = max(128, -(-lk // 128) * 128)
+        if lk_p > 512 and lk_p % 512 == 0:
+            block_k = 512
+    return _block_sizes(lq, lk, block_q, block_k)
+
+
 def _pad_inputs(q, k, v, key_mask, block_q, block_k):
     """Pad seq lengths to block multiples; flatten (B,H) -> BH."""
     b, h, lq, d = q.shape
@@ -399,13 +430,13 @@ def _flash_backward(q, k, v, key_mask, causal, lse, o, do,
     b, h, lq, d = q.shape
     lk = k.shape[2]
     # backward-specific block overrides for sweeps (trace-time env, same
-    # convention as PRISMER_FLASH_BH; tools/bench_flash_bwd.py): the
-    # forward-swept whole-QxK policy is the default here too
+    # convention as PRISMER_FLASH_BH; tools/bench_flash_bwd.py); the
+    # swept default policy lives in _bwd_block_sizes
     if block_q is None and os.environ.get("PRISMER_FLASH_BWD_BQ"):
         block_q = int(os.environ["PRISMER_FLASH_BWD_BQ"])
     if block_k is None and os.environ.get("PRISMER_FLASH_BWD_BK"):
         block_k = int(os.environ["PRISMER_FLASH_BWD_BK"])
-    block_q, block_k = _block_sizes(lq, lk, block_q, block_k)
+    block_q, block_k = _bwd_block_sizes(lq, lk, block_q, block_k)
     qf, kf, vf, maskf, lq_p, lk_p = _pad_inputs(q, k, v, key_mask,
                                                 block_q, block_k)
     dof = jnp.pad(do, ((0, 0), (0, 0), (0, lq_p - lq), (0, 0))
