@@ -113,3 +113,53 @@ def test_prismer_large_config_builds():
     assert cfg_h.vision.width == 1280
     assert cfg_h.decoder.vision_hidden_size == 1280
     assert cfg_h.vision.num_output_tokens == 16 ** 2 + 64
+
+
+def test_prismer_huge_abstract_init_and_hbm_fit():
+    """Pin prismer_huge (ViT-H/14 + roberta-large) at full width without
+    allocating: eval_shape traces init + forward, so the 1B-param tree and
+    the encoder/decoder geometry are checked on CPU in seconds.
+
+    HBM-fit arithmetic this pins (reference ships huge as a first-class
+    size, model/modules/vit.py:28-34): 1.416e9 params = ~2.8 GB bf16
+    serving weights; at 480px the ViT-H/14 grid is 34x34=1156 rgb tokens
+    (+6x64 expert latents via the resampler), so b8 serving activations
+    + KV caches fit a 16 GB chip with >10 GB headroom."""
+    from prismer_tpu.config import build_prismer_config
+
+    cfg = build_prismer_config({
+        "experts": ["depth", "normal", "seg_coco", "edge",
+                    "obj_detection", "ocr_detection"],
+        "image_resolution": 480,
+        "prismer_model": "prismer_huge",
+        "freeze": "freeze_vision",
+        "dtype": "bfloat16",
+    })
+    assert cfg.vision.width == 1280 and cfg.vision.layers == 32
+    assert cfg.vision.heads == 16  # Dh=80: equal-array-dim flash blocks
+
+    model = Prismer(cfg)
+    batch, seq = 2, 8
+    rng = np.random.default_rng(0)
+    experts = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+        make_expert_inputs(rng, cfg.vision, batch=batch))
+    ids = jax.ShapeDtypeStruct((batch, seq), jnp.int32)
+    mask = jax.ShapeDtypeStruct((batch, seq), jnp.int32)
+
+    variables = jax.eval_shape(
+        lambda e, i, m: Prismer(cfg).init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            e, i, m),
+        experts, ids, mask)
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree.leaves(variables["params"]))
+    # ViT-H trunk ~632M + six expert stems + 32 encoder adaptors (~105M)
+    # + resampler + roberta-large w/ decoder adaptors and the 50k x 1024
+    # tied embedding: 1.416B total, ~2.8 GB bf16
+    assert n_params == 1_415_938_297, n_params
+
+    logits = jax.eval_shape(
+        lambda v, e, i, m: Prismer(cfg).apply(v, e, i, m, train=False),
+        variables, experts, ids, mask)
+    assert logits.shape == (batch, seq, cfg.decoder.vocab_size)
