@@ -39,6 +39,7 @@ model/modules/roberta.py:358-406 via generate().
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -49,6 +50,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e7   # generation.NEG_INF — the finite EOS/min-length sentinel
 _MININF = float("-inf")
+
+# VMEM envelope, in feature rows (N = B*beams). The logits scratch plus the
+# selection-phase temporaries scale linearly with N: n=96 (b32 x 3 beams)
+# compiles and runs on-chip, n=144 (b48) is a measured Mosaic VMEM OOM
+# (165.27M of 128M, probe_b48 round 4). Above the limit the public wrapper
+# splits the batch into sample-aligned chunks — samples are independent, so
+# chunking is EXACT; the only cost is re-streaming the (D, Vp) embedding
+# once per extra chunk (~78 MB ~= 0.1 ms at HBM speed).
+_ROW_LIMIT = int(os.environ.get("PRISMER_LM_TOPK_ROWS", "96"))
 
 
 def pad_layout(v: int, max_blocks: int = 8) -> Tuple[int, int, int]:
@@ -222,6 +232,23 @@ def lm_topk(h: jax.Array, emb_tp: jax.Array, bias_p: jax.Array,
     n, d = h.shape
     b = n // beams
     assert b * beams == n
+
+    # VMEM envelope: chunk over samples when N exceeds the measured limit
+    # (exact — each sample's selection is independent of the rest).
+    if n > _ROW_LIMIT and b > 1:
+        b_chunk = max(1, _ROW_LIMIT // beams)
+        nch = -(-b // b_chunk)
+        b_chunk = -(-b // nch)                 # equalize chunk sizes
+        outs = []
+        for c in range(nch):
+            lo, hi = c * b_chunk, min((c + 1) * b_chunk, b)
+            outs.append(lm_topk(
+                h[lo * beams:hi * beams], emb_tp, bias_p,
+                alive_scores[lo:hi], mask_eos, vocab=vocab, beams=beams,
+                kk=kk, eos_token_id=eos_token_id, interpret=interpret))
+        return tuple(jnp.concatenate([o[i] for o in outs], axis=0)
+                     for i in range(3))
+
     vb, nvb, vp = pad_layout(vocab)
     assert emb_tp.shape == (d, vp) and bias_p.shape == (1, vp), (
         emb_tp.shape, bias_p.shape, (d, vp))

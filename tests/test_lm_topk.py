@@ -87,6 +87,33 @@ def test_tie_order_lowest_flat_index():
     np.testing.assert_array_equal(np.asarray(tok[0]), [0, 1, 2, 3])
 
 
+def test_row_chunking_exact(monkeypatch):
+    """Above the VMEM row envelope the wrapper splits the batch into
+    sample-aligned chunks (measured OOM at n=144 on-chip); chunked output
+    must be IDENTICAL to the unchunked kernel — samples are independent."""
+    import prismer_tpu.ops.lm_topk as lt
+
+    rng = np.random.default_rng(7)
+    v, b, k, d = 797, 7, 3, 32        # 21 rows; limit 6 -> chunks of 2 samples
+    h = jnp.asarray(rng.standard_normal((b * k, d)), jnp.float32)
+    emb_t = jnp.asarray(rng.standard_normal((d, v)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((v,)) * 0.1, jnp.float32)
+    alive = jnp.asarray(rng.standard_normal((b, k)), jnp.float32)
+    emb_tp, bias_p = pad_embedding(emb_t, bias, v)
+
+    args = dict(vocab=v, beams=k, kk=2 * k, eos_token_id=2)
+    whole = lm_topk(h, emb_tp, bias_p, alive, jnp.asarray(False), **args)
+    monkeypatch.setattr(lt, "_ROW_LIMIT", 6)
+    chunked = lm_topk(h, emb_tp, bias_p, alive, jnp.asarray(False), **args)
+    for w, c in zip(whole, chunked):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(c))
+
+    # and still exact vs the XLA reference composition
+    want = _ref(h, emb_t, bias, alive, jnp.asarray(False), 2 * k, 2)
+    np.testing.assert_array_equal(np.asarray(chunked[1]), np.asarray(want[1]))
+    np.testing.assert_array_equal(np.asarray(chunked[2]), np.asarray(want[2]))
+
+
 def test_pad_layout():
     assert pad_layout(50265) == (6400, 8, 51200)
     assert pad_layout(1000) == (128, 8, 1024)
