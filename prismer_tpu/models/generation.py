@@ -354,12 +354,15 @@ def beam_search(model: Prismer, variables: Dict[str, Any],
     t = max_length
     assert p < t, "prompt longer than max_length"
 
-    from prismer_tpu.models.roberta import use_fused_decode
+    from prismer_tpu.models.roberta import use_fused_decode, fused_rows_ok
     packed = {}
     if "packed_decode" in variables:
         packed = variables["packed_decode"].get("text_decoder", {})
+    # Mosaic 8-row alignment (roberta.fused_rows_ok): misaligned B*K row
+    # counts take the XLA paths on TPU for the whole kernel serving stack
+    rows_ok = fused_rows_ok(b * k)
     use_lm_kernel = (LM_TOPK_IMPL == "kernel" and "emb_tp" in packed
-                     and use_fused_decode())
+                     and use_fused_decode() and rows_ok)
 
     # tile the prompt to B*K rows; encoder states stay untiled — cross-attn
     # K/V are projected once per sample inside init_cache (beams=k)
@@ -423,7 +426,7 @@ def beam_search(model: Prismer, variables: Dict[str, Any],
         cur_len = st.index.astype(jnp.float32)
         pen = cur_len ** length_penalty
         args = (top_scores, top_beam, top_token)
-        if BEAM_UPDATE_IMPL == "kernel":
+        if BEAM_UPDATE_IMPL == "kernel" and rows_ok:
             # whole bookkeeping step as ONE pallas kernel — the (B,K,T) /
             # (N,T) views are the same bytes (free bitcast reshapes)
             from prismer_tpu.ops.beam_update import beam_update

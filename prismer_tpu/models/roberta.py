@@ -64,6 +64,19 @@ def use_fused_decode() -> bool:
     return _FUSED_DECODE == "on"
 
 
+def fused_rows_ok(n_rows: int, backend: Optional[str] = None) -> bool:
+    """Mosaic requires second-to-last-dim memref slices to be 8-aligned: the
+    fused decode kernel DMAs (1, T, N, D) slices of the self caches and
+    lm_topk chunks rows along N, so on TPU the kernel serving stack needs
+    N = B*beams divisible by 8 (prismer_huge @ batch 4 -> N=12 failed Mosaic
+    with "Slice shape along dimension 2 must be aligned to tiling (8), but
+    is 12"). CPU interpret mode has no such constraint — tiny-batch parity
+    tests keep exercising the kernels there. Misaligned TPU row counts fall
+    back to the XLA decode path (exact, slower)."""
+    backend = backend or jax.default_backend()
+    return n_rows % 8 == 0 or backend != "tpu"
+
+
 # int8 cross-KV serving mode (fused decode only): halves the dominant
 # per-step decode HBM stream (the 13 layers re-read the full cross-K/V every
 # step) at a per-(layer, sample, head) symmetric-quantization cost comparable
@@ -607,7 +620,7 @@ class RobertaCausalDecoder(nn.Module):
         hidden = self.embeddings(input_ids, position_ids)
         enc = encoder_hidden_states.astype(self.dtype)
 
-        fused = use_fused_decode()
+        fused = use_fused_decode() and fused_rows_ok(input_ids.shape[0])
         quant = use_kv_quant()
         kts, vs = [], []
         ckts, cvs = [], []          # XLA path: head-split layouts

@@ -434,3 +434,17 @@ def test_beam_search_kernel_perm_mode_end_to_end(monkeypatch):
     seq_k, sc_k = make_run()()
     np.testing.assert_array_equal(np.asarray(seq_k), np.asarray(seq_g))
     np.testing.assert_array_equal(np.asarray(sc_k), np.asarray(sc_g))
+
+
+def test_fused_rows_ok_alignment_gate():
+    # Mosaic rejects 2nd-to-last-dim slices not 8-aligned (prismer_huge @ b4
+    # -> N=12 crashed the fused kernel on chip); on TPU misaligned row counts
+    # must route to the XLA decode path, while CPU interpret mode keeps
+    # exercising the kernels at tiny test batches.
+    assert rb.fused_rows_ok(24, backend="tpu")
+    assert not rb.fused_rows_ok(12, backend="tpu")
+    assert not rb.fused_rows_ok(6, backend="tpu")
+    assert rb.fused_rows_ok(12, backend="cpu")
+    assert rb.fused_rows_ok(6, backend="cpu")
+    # current process default backend is CPU in tests -> always ok
+    assert rb.fused_rows_ok(6)
