@@ -169,8 +169,37 @@ def interpolate_pos_embed(pos_embed: jax.Array, target_len: int) -> jax.Array:
     return out.reshape(new_size * new_size, d).astype(pos_embed.dtype)
 
 
+_LN_PROJ: Optional[bool] = None  # None = env (PRISMER_LN_PROJ)
+
+
+def set_ln_proj(mode: Optional[bool]) -> None:
+    """Force the fused LN->projection kernels on/off (None = env flag).
+    Trace-time flag — must be set before the program is jitted."""
+    global _LN_PROJ
+    _LN_PROJ = mode
+
+
+def use_ln_proj() -> bool:
+    """Fused LN->consumer Pallas kernels (ops/ln_proj.py): the encoder's
+    pre-LN statistics/normalize never round-trip HBM — LN fuses into the
+    qkv projections, the MLP's first matmul (+activation), and the whole
+    Adaptor. On CPU the wiring routes to an identical pure-XLA composition
+    (ops/ln_proj._ln_proj_ref), so flag-on is safe everywhere. Default OFF
+    until the on-chip same-session A/B adopts it."""
+    if _LN_PROJ is not None:
+        return _LN_PROJ
+    import os
+    return os.environ.get("PRISMER_LN_PROJ", "0") == "1"
+
+
 class Mlp(nn.Module):
-    """fc -> activation -> proj (CLIP block MLP / resampler MLP)."""
+    """fc -> activation -> proj (CLIP block MLP / resampler MLP).
+
+    pre_ln: optional (scale, bias) of a preceding fp32 LayerNorm. When given,
+    the LN is applied INSIDE: on the fused path (use_ln_proj) LN + c_fc +
+    activation run as one Pallas kernel (ops/ln_proj.py) and the normalized
+    activations never hit HBM; otherwise fp32_layer_norm is applied first
+    (identical math)."""
 
     hidden_dim: int
     out_dim: int
@@ -178,10 +207,23 @@ class Mlp(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 pre_ln: Optional[tuple] = None) -> jax.Array:
         act = ACTIVATIONS[self.activation]
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="c_fc")(x)
-        x = act(x)
+        fc = nn.Dense(self.hidden_dim, dtype=self.dtype, name="c_fc")
+        fused = (pre_ln is not None and use_ln_proj()
+                 and not self.is_initializing())
+        if fused:
+            from prismer_tpu.ops.ln_proj import ln_proj
+            p = self.get_variable("params", "c_fc")
+            (x,) = ln_proj(x, pre_ln[0], pre_ln[1],
+                           [jnp.asarray(p["kernel"], self.dtype)],
+                           [jnp.asarray(p["bias"], self.dtype)],
+                           activation=self.activation)
+        else:
+            if pre_ln is not None:
+                x = fp32_layer_norm(x, pre_ln[0], pre_ln[1])
+            x = act(fc(x))
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="c_proj")(x)
         return x
 
@@ -202,6 +244,21 @@ class Adaptor(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         dim = x.shape[-1]
         ln = LayerNorm(name="adaptor_ln")
+
+        if (not self.norm_late and use_ln_proj()
+                and not self.is_initializing()):
+            # whole adaptor as ONE Pallas kernel: LN stats, the bottleneck
+            # activations, and the residual add never leave VMEM
+            from prismer_tpu.ops.ln_proj import adaptor_fused
+            pn = self.get_variable("params", "adaptor_ln")
+            pd = self.get_variable("params", "down_proj")
+            pu = self.get_variable("params", "up_proj")
+            return adaptor_fused(
+                x, pn["scale"], pn["bias"],
+                jnp.asarray(pd["kernel"], self.dtype),
+                jnp.asarray(pd["bias"], self.dtype),
+                jnp.asarray(pu["kernel"], self.dtype),
+                jnp.asarray(pu["bias"], self.dtype))
 
         def proj(h: jax.Array) -> jax.Array:
             h = nn.Dense(dim, dtype=self.dtype, name="down_proj")(h)
@@ -324,14 +381,32 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, kv: Optional[jax.Array] = None,
-                 mask_bias: Optional[jax.Array] = None) -> jax.Array:
+                 mask_bias: Optional[jax.Array] = None,
+                 pre_ln: Optional[tuple] = None) -> jax.Array:
         dim = x.shape[-1]
         self_attn = kv is None
         kv = x if kv is None else kv
         dq = nn.Dense(dim, dtype=self.dtype, name="q_proj")
         dk = nn.Dense(dim, dtype=self.dtype, name="k_proj")
         dv = nn.Dense(dim, dtype=self.dtype, name="v_proj")
-        if self_attn and use_packed_qkv() and not self.is_initializing():
+        fused_ln = (pre_ln is not None and self_attn and use_ln_proj()
+                    and not self.is_initializing())
+        if pre_ln is not None:
+            assert self_attn, "pre_ln fusion is a self-attention feature"
+            if not fused_ln:
+                x = fp32_layer_norm(x, pre_ln[0], pre_ln[1])
+                kv = x
+        if fused_ln:
+            # LN + the three projections in one Pallas kernel: x is read
+            # once, the normalized activations never hit HBM
+            from prismer_tpu.ops.ln_proj import ln_proj
+            ps = [self.get_variable("params", nm)
+                  for nm in ("q_proj", "k_proj", "v_proj")]
+            q, k, v = ln_proj(
+                x, pre_ln[0], pre_ln[1],
+                [jnp.asarray(p["kernel"], self.dtype) for p in ps],
+                [jnp.asarray(p["bias"], self.dtype) for p in ps])
+        elif self_attn and use_packed_qkv() and not self.is_initializing():
             names = ("q_proj", "k_proj", "v_proj")
             ps = [self.get_variable("params", nm) for nm in names]
             w = jnp.concatenate(

@@ -63,12 +63,25 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from prismer_tpu.models.layers import use_ln_proj
         dim = x.shape[-1]
-        x = x + MultiHeadAttention(num_heads=self.num_heads, dtype=self.dtype,
-                                   name="attn")(LayerNorm(name="ln_1")(x))
+        attn = MultiHeadAttention(num_heads=self.num_heads, dtype=self.dtype,
+                                  name="attn")
+        mlp = Mlp(hidden_dim=dim * 4, out_dim=dim, activation="quick_gelu",
+                  dtype=self.dtype, name="mlp")
+        if use_ln_proj() and not self.is_initializing():
+            # fused LN->consumer path (ops/ln_proj.py): the pre-LNs run
+            # inside the qkv / c_fc kernels instead of as separate HBM
+            # round-trips; params stay under the ln_1/ln_2 child scopes
+            p1 = self.get_variable("params", "ln_1")
+            p2 = self.get_variable("params", "ln_2")
+            x = x + attn(x, pre_ln=(p1["scale"], p1["bias"]))
+            x = Adaptor(norm_late=False, dtype=self.dtype, name="adaptor")(x)
+            x = x + mlp(x, pre_ln=(p2["scale"], p2["bias"]))
+            return x
+        x = x + attn(LayerNorm(name="ln_1")(x))
         x = Adaptor(norm_late=False, dtype=self.dtype, name="adaptor")(x)
-        x = x + Mlp(hidden_dim=dim * 4, out_dim=dim, activation="quick_gelu",
-                    dtype=self.dtype, name="mlp")(LayerNorm(name="ln_2")(x))
+        x = x + mlp(LayerNorm(name="ln_2")(x))
         return x
 
 
