@@ -41,6 +41,14 @@ LABEL_RESOLUTION = 224  # fixed (utils.py:43)
 ID_EXPERTS = ("seg_coco", "seg_ade", "obj_detection", "ocr_detection")
 DENSE_EXPERTS = ("depth", "normal", "edge")
 
+# Vectorized label warp (data/pil_warp.py): the whole label-side geometry
+# chain (crop -> 224 NEAREST resize -> flip -> RandAugment affines) becomes
+# ONE composed index grid + 7 numpy gathers instead of per-label PIL round
+# trips (~23 ms/record -> ~2 ms, the top remaining input-pipeline stage).
+# Bit-exact vs the PIL path (tests/test_data.py::test_vectorized_label_*);
+# opt out with PRISMER_VEC_LABELS=0.
+VEC_LABELS = os.environ.get("PRISMER_VEC_LABELS", "1") != "0"
+
 
 def random_resized_crop_params(w: int, h: int, scale: Tuple[float, float],
                                ratio: Tuple[float, float] = (3 / 4, 4 / 3)
@@ -89,6 +97,20 @@ class Transform:
     def __call__(self, image: Image.Image,
                  labels: Optional[Dict[str, Image.Image]]
                  ) -> Dict[str, np.ndarray]:
+        # labels must share the RGB geometry for a composed index grid to be
+        # valid; mismatched sizes (never produced by the expert generators)
+        # take the exact PIL path
+        vectorize = (VEC_LABELS and labels is not None
+                     and all(l.size == image.size for l in labels.values()))
+        if vectorize:
+            return self._call_vectorized(image, labels)
+        return self._call_pil(image, labels)
+
+    def _call_pil(self, image: Image.Image,
+                  labels: Optional[Dict[str, Image.Image]]
+                  ) -> Dict[str, np.ndarray]:
+        """Original joint-PIL formulation — the behavioral spec the
+        vectorized path is pinned against."""
         if self.train:
             w, h = image.size
             top, left, ch, cw = random_resized_crop_params(
@@ -112,6 +134,52 @@ class Transform:
                               for e, l in labels.items()}
             image, labels = self.randaugment(image, labels)
 
+        label_arrays = (None if labels is None else
+                        {e: np.asarray(l) for e, l in labels.items()})
+        return self._pack(image, label_arrays)
+
+    def _call_vectorized(self, image: Image.Image,
+                         labels: Dict[str, Image.Image]
+                         ) -> Dict[str, np.ndarray]:
+        """Same record, same RNG stream: RGB through the identical PIL calls,
+        labels through one composed nearest-index grid (data/pil_warp.py)."""
+        from prismer_tpu.data.pil_warp import compose_label_grid
+        from prismer_tpu.data.randaugment import LABEL_FILL
+
+        src_wh = image.size
+        crop = None
+        if self.train:
+            w, h = image.size
+            top, left, ch, cw = random_resized_crop_params(
+                w, h, self.scale_size)
+            crop = (top, left, ch, cw)
+            image = image.crop((left, top, left + cw, top + ch))
+
+        image = image.resize((self.res, self.res), Image.BICUBIC)
+
+        flip = False
+        geo_coeffs = []
+        if self.train:
+            if random.random() < 0.5:
+                flip = True
+                image = image.transpose(Image.FLIP_LEFT_RIGHT)
+            image, geo_coeffs = self.randaugment.rgb_and_coeffs(image)
+
+        sy, sx, oob = compose_label_grid(src_wh, crop, flip, geo_coeffs,
+                                         LABEL_RESOLUTION)
+        any_oob = bool(oob.any())
+        label_arrays = {}
+        for exp, lab in labels.items():
+            arr = np.asarray(lab)
+            out = arr[sy, sx]
+            if any_oob:
+                out[oob] = LABEL_FILL[exp]
+            label_arrays[exp] = out
+        return self._pack(image, label_arrays)
+
+    def _pack(self, image: Image.Image,
+              label_arrays: Optional[Dict[str, np.ndarray]]
+              ) -> Dict[str, np.ndarray]:
         if RGB_DEVICE_NORM:
             rgb = np.asarray(image, np.uint8)
         else:
@@ -119,9 +187,8 @@ class Transform:
             rgb = (rgb - CLIP_MEAN) / CLIP_STD
         out: Dict[str, np.ndarray] = {"rgb": rgb}
 
-        if labels is not None:
-            for exp, lab in labels.items():
-                arr = np.asarray(lab)
+        if label_arrays is not None:
+            for exp, arr in label_arrays.items():
                 if exp in DENSE_EXPERTS:
                     a = arr.astype(np.float32) / 255.0
                     if a.ndim == 2:

@@ -355,11 +355,36 @@ def beam_search(model: Prismer, variables: Dict[str, Any],
     assert p < t, "prompt longer than max_length"
 
     from prismer_tpu.models.roberta import use_fused_decode, fused_rows_ok
+    if use_fused_decode() and not fused_rows_ok(b * k):
+        # Mosaic 8-row alignment (roberta.fused_rows_ok): rather than fall
+        # back to the slower XLA decode path for the whole batch (the round-4
+        # prismer_huge b4 perf cliff), pad the BATCH with copies of sample 0
+        # until N = B'*K is 8-aligned and slice the outputs back. Every
+        # per-sample computation in beam search is independent (per-(B,K)
+        # top-k/bookkeeping, per-sample cross-KV, per-row self-attn), so the
+        # real rows are bit-identical to the unpadded fused run; the padded
+        # rows trace sample 0's trajectory, so they can't extend the
+        # while_loop beyond what a real duplicate would.
+        bp = b + 1
+        while (bp * k) % 8 != 0:
+            bp += 1
+        pad = bp - b
+        rep = lambda x: jnp.concatenate(
+            [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])], axis=0)
+        seqs, scores = beam_search(
+            model, variables, rep(encoder_hidden_states), rep(prompt_ids),
+            rep(prompt_mask), num_beams=num_beams, max_length=max_length,
+            min_length=min_length, length_penalty=length_penalty,
+            eos_token_id=eos_token_id, pad_token_id=pad_token_id)
+        return seqs[:b], scores[:b]
+
     packed = {}
     if "packed_decode" in variables:
         packed = variables["packed_decode"].get("text_decoder", {})
     # Mosaic 8-row alignment (roberta.fused_rows_ok): misaligned B*K row
     # counts take the XLA paths on TPU for the whole kernel serving stack
+    # (only reachable on TPU when fused decode is globally off — aligned
+    # row counts are guaranteed by the batch padding above otherwise)
     rows_ok = fused_rows_ok(b * k)
     use_lm_kernel = (LM_TOPK_IMPL == "kernel" and "emb_tp" in packed
                      and use_fused_decode() and rows_ok)

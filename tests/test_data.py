@@ -286,3 +286,76 @@ def test_label_cache_roundtrip(tmp_path, monkeypatch):
     os.utime(png)
     a3 = np.asarray(_open_label_png(str(png), "L"))
     np.testing.assert_array_equal(a3, arr2)
+
+
+def _random_label_set(rng, w, h):
+    labels = {
+        "depth": Image.fromarray(
+            rng.integers(0, 256, (h, w), dtype=np.uint8), "L"),
+        "normal": Image.fromarray(
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8), "RGB"),
+        "edge": Image.fromarray(
+            rng.integers(0, 256, (h, w), dtype=np.uint8), "L"),
+        "seg_coco": Image.fromarray(
+            rng.integers(0, 134, (h, w), dtype=np.uint8), "L"),
+        "obj_detection": Image.fromarray(
+            rng.choice([0, 3, 7, 255], (h, w)).astype(np.uint8), "L"),
+        "ocr_detection": Image.fromarray(
+            rng.choice([0, 1, 255], (h, w)).astype(np.uint8), "L"),
+    }
+    img = Image.fromarray(rng.integers(0, 256, (h, w, 3), dtype=np.uint8),
+                          "RGB")
+    return img, labels
+
+
+@pytest.mark.parametrize("train,res", [(True, 480), (True, 224),
+                                       (False, 480)])
+def test_vectorized_label_path_matches_pil_exactly(train, res):
+    """The composed-index-grid label path (data/pil_warp.py) is BIT-EXACT vs
+    the joint PIL path across the whole op set (crop/resize/flip/shears/
+    translates/rotates + photometric RGB ops), same RNG stream."""
+    import random as pyrandom
+
+    rng = np.random.default_rng(0)
+    tf = Transform(resize_resolution=res, train=train)
+    mismatch = []
+    for seed in range(40):
+        w = int(rng.integers(90, 640))
+        h = int(rng.integers(90, 640))
+        img, labels = _random_label_set(rng, w, h)
+        pyrandom.seed(seed)
+        ref = tf._call_pil(img, labels)
+        pyrandom.seed(seed)
+        got = tf._call_vectorized(img, labels)
+        for key in ref:
+            if not np.array_equal(ref[key], got[key]):
+                mismatch.append((seed, key,
+                                 int((ref[key] != got[key]).sum())))
+    assert not mismatch, mismatch[:10]
+
+
+def test_vectorized_path_is_default_and_rng_stream_shared():
+    """Transform.__call__ routes matching-size label sets through the
+    vectorized path by default, and a full __call__ consumes the same RNG
+    stream as the PIL path (next draw identical afterwards)."""
+    import random as pyrandom
+
+    import prismer_tpu.data.transform as T
+
+    rng = np.random.default_rng(1)
+    img, labels = _random_label_set(rng, 300, 200)
+    tf = Transform(resize_resolution=480, train=True)
+    assert T.VEC_LABELS
+    pyrandom.seed(123)
+    tf(img, labels)
+    after_default = pyrandom.random()
+    pyrandom.seed(123)
+    tf._call_pil(img, labels)
+    after_pil = pyrandom.random()
+    assert after_default == after_pil
+
+    # mismatched label size falls back to the exact PIL path
+    bad = dict(labels, depth=labels["depth"].resize((64, 64)))
+    pyrandom.seed(7)
+    out = tf(img, bad)  # must not raise; PIL semantics apply
+    assert out["depth"].shape == (224, 224, 1)

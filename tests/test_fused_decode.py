@@ -448,3 +448,57 @@ def test_fused_rows_ok_alignment_gate():
     assert rb.fused_rows_ok(6, backend="cpu")
     # current process default backend is CPU in tests -> always ok
     assert rb.fused_rows_ok(6)
+
+
+def test_misaligned_batch_pads_to_fused_path(monkeypatch):
+    """generation.beam_search pads the batch (copies of sample 0) when
+    N = B*K is Mosaic-misaligned instead of falling back to the XLA decode
+    path (the round-4 prismer_huge b4 perf cliff). Emulate the TPU alignment
+    rule on CPU and check the padded fused run is exact vs the unpadded one.
+    """
+    from prismer_tpu.models import generation
+    from prismer_tpu.models.generation import beam_search
+    from prismer_tpu.models.prismer import Prismer
+    from tests.test_models import make_expert_inputs, tiny_vision
+
+    import dataclasses
+
+    rng = np.random.default_rng(5)
+    vis = tiny_vision()
+    dec_cfg = dataclasses.replace(decoder_cfg(), vision_hidden_size=64)
+    cfg = PrismerConfig(vision=vis, decoder=dec_cfg,
+                        prismer_model="prismer_tiny", dtype="float32")
+    model = Prismer(cfg)
+    inputs = make_expert_inputs(rng, vis)
+    ids = jnp.asarray(rng.integers(4, 120, (2, 4)).astype(np.int32))
+    mask = jnp.ones((2, 4), jnp.int32)
+    variables = model.init(jax.random.key(0), inputs, ids, mask)
+    enc = model.apply(variables, inputs, method=Prismer.encode)
+    rb.set_fused_decode("on")
+
+    def make_run():
+        def run():
+            return beam_search(
+                model, variables, enc, ids, mask, num_beams=3, max_length=12,
+                min_length=6, length_penalty=1.0,
+                eos_token_id=cfg.decoder.eos_token_id,
+                pad_token_id=cfg.decoder.pad_token_id)
+        return jax.jit(run)
+
+    seq_ref, sc_ref = make_run()()  # N=6, CPU: no padding
+
+    # emulate the TPU 8-alignment rule: B=2,K=3 -> N=6 misaligned -> the
+    # wrapper must pad B to 8 (24 rows) and slice back
+    seen = []
+    real = rb.fused_rows_ok
+    monkeypatch.setattr(
+        rb, "fused_rows_ok",
+        lambda n, backend=None: seen.append(n) or n % 8 == 0)
+    try:
+        seq_pad, sc_pad = make_run()()
+    finally:
+        monkeypatch.setattr(rb, "fused_rows_ok", real)
+    assert 6 in seen and 24 in seen, seen  # wrapper fired and re-entered
+    np.testing.assert_array_equal(np.asarray(seq_pad), np.asarray(seq_ref))
+    np.testing.assert_allclose(np.asarray(sc_pad), np.asarray(sc_ref),
+                               atol=1e-5)
