@@ -65,7 +65,11 @@ def _open_label_png(path: str, mode: str) -> Image.Image:
                 arr = np.load(cp)
                 if ((mode == "L" and arr.ndim == 2)
                         or (mode == "RGB" and arr.ndim == 3)):
-                    return Image.fromarray(arr, mode)
+                    img = Image.fromarray(arr, mode)
+                    # the vectorized label warp gathers straight from this
+                    # array, skipping a PIL->numpy copy (transform.py)
+                    img.prismer_np = arr
+                    return img
         except (OSError, ValueError):
             pass
 
@@ -81,8 +85,10 @@ def _open_label_png(path: str, mode: str) -> Image.Image:
             if arr is not None:
                 if mode == "L" and arr.ndim == 2:
                     img = Image.fromarray(arr, "L")
+                    img.prismer_np = arr
                 elif mode == "RGB" and arr.ndim == 3:
                     img = Image.fromarray(arr, "RGB")
+                    img.prismer_np = arr
     if img is None:
         img = Image.open(path).convert(mode)
 

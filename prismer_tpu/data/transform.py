@@ -143,7 +143,7 @@ class Transform:
                          ) -> Dict[str, np.ndarray]:
         """Same record, same RNG stream: RGB through the identical PIL calls,
         labels through one composed nearest-index grid (data/pil_warp.py)."""
-        from prismer_tpu.data.pil_warp import compose_label_grid
+        from prismer_tpu.data.pil_warp import LabelGather
         from prismer_tpu.data.randaugment import LABEL_FILL
 
         src_wh = image.size
@@ -165,16 +165,16 @@ class Transform:
                 image = image.transpose(Image.FLIP_LEFT_RIGHT)
             image, geo_coeffs = self.randaugment.rgb_and_coeffs(image)
 
-        sy, sx, oob = compose_label_grid(src_wh, crop, flip, geo_coeffs,
-                                         LABEL_RESOLUTION)
-        any_oob = bool(oob.any())
+        gather = LabelGather(src_wh, crop, flip, geo_coeffs,
+                             LABEL_RESOLUTION)
+        # labels decoded by the native loader / .npy cache carry their
+        # backing array (labels.py prismer_np) — gather straight from it
         label_arrays = {}
         for exp, lab in labels.items():
-            arr = np.asarray(lab)
-            out = arr[sy, sx]
-            if any_oob:
-                out[oob] = LABEL_FILL[exp]
-            label_arrays[exp] = out
+            arr = getattr(lab, "prismer_np", None)
+            if arr is None:
+                arr = np.asarray(lab)
+            label_arrays[exp] = gather(arr, LABEL_FILL[exp])
         return self._pack(image, label_arrays)
 
     def _pack(self, image: Image.Image,
