@@ -180,7 +180,10 @@ def set_ln_proj(mode: Optional[bool]) -> None:
 
 
 def use_ln_proj() -> bool:
-    """Fused LN->consumer Pallas kernels (ops/ln_proj.py): the encoder's
+    """REJECTED round 5: e2e A/B b24 measured 232.9 (off) vs 211.4 img/s
+    (on), compile 94.5 s vs 2246.7 s (ab_ln_proj.log) — the kernels break
+    XLA's surrounding fusions. Kept default-OFF as a documented negative
+    result. Fused LN->consumer Pallas kernels (ops/ln_proj.py): the encoder's
     pre-LN statistics/normalize never round-trip HBM — LN fuses into the
     qkv projections, the MLP's first matmul (+activation), and the whole
     Adaptor. On CPU the wiring routes to an identical pure-XLA composition

@@ -1,6 +1,19 @@
 """Pallas TPU fused LayerNorm -> projection(s) (and the whole ViT Adaptor).
 
-The encoder's pre-LN blocks spend ~20 ms of a ~50 ms b24 encode in LayerNorm
+STATUS: REJECTED for production (round-5 e2e A/B, ab_ln_proj.log,
+same-session b24): off 232.9 img/s vs on 211.4 img/s (-9.2%), pipeline
+compile 94.5 s vs 2246.7 s. The kernels are individually correct (on-chip
+parity rel < 6e-3, tools/check_ln_proj_tpu.py) and the isolated LN traffic
+argument below is real, but replacing the encoder's LN fusions with 36
+pallas custom calls breaks XLA's fusion graph around them — the round-3
+lesson ("when a pallas experiment loses end-to-end, suspect fusion
+breakage, not call cost") repeated at full scale. PRISMER_LN_PROJ stays
+default-OFF; the code and CPU-interpret parity tests are kept as the
+documented negative result. Do not re-attempt without first solving the
+surrounding-fusion problem (e.g. fusing the whole block, not the LN).
+
+The motivating analysis (kept for the record): the encoder's pre-LN blocks
+spend ~20 ms of a ~50 ms b24 encode in LayerNorm
 fusions (`convert_reduce_fusion`, 47 instances, tools/trace_breakdown.py):
 XLA keeps each LN a separate HBM round trip running at ~250 GB/s, and a
 standalone Pallas LN was measured NO-WIN in round 2 (ops/layer_norm.py — it
