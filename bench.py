@@ -428,40 +428,56 @@ def train_throughput(args):
     overhead = float(np.median(
         [timed_value(null_run, jnp.int32(r + 1))[0] for r in range(5)]))
 
-    def make_batch(batch, seed):
-        @jax.jit
-        def gen(seed):
-            key = jax.random.key(seed)
-            experts = device_experts(cfg, key, batch)
-            ids = jax.random.randint(jax.random.fold_in(key, 1),
-                                     (batch, seq_len), 4,
-                                     cfg.decoder.vocab_size)
-            targets = ids.at[:, :4].set(-100)
-            return {"experts": experts, "input_ids": ids,
-                    "attention_mask": jnp.ones((batch, seq_len), jnp.int32),
-                    "targets": targets}
-        return gen(jnp.int32(seed))
+    def batch_from_key(batch, key):
+        experts = device_experts(cfg, key, batch)
+        ids = jax.random.randint(jax.random.fold_in(key, 1),
+                                 (batch, seq_len), 4,
+                                 cfg.decoder.vocab_size)
+        targets = ids.at[:, :4].set(-100)
+        return {"experts": experts, "input_ids": ids,
+                "attention_mask": jnp.ones((batch, seq_len), jnp.int32),
+                "targets": targets}
 
+    # scan `iters` steps inside ONE dispatch: a single-step-per-dispatch
+    # loop pays the full relay round trip + argument marshalling every
+    # step and OVER-REPORTED the step by ~45% (round-4 ledger: 281 ms/step
+    # wall vs 194.2 ms device, tools/trace_train_fwd.py) — the same
+    # amortization the caption harness has always used. Each iteration
+    # consumes a fresh device-RNG batch (seed x i), so nothing is
+    # loop-invariant; the ~6 ms/step batch generation rides inside the
+    # timing (conservative, like the caption harness's perturbation).
     sweep, best = {}, None
+    n_iters = max(2, min(args.iters, 6))  # 6 full steps bound HBM spikes
     for b in batches:
-        batch0 = make_batch(b, 0)
+        @jax.jit
+        def train_scan(st, seed):
+            def body(carry, i):
+                bt = batch_from_key(b, jax.random.fold_in(
+                    jax.random.key(seed), i))
+                st2, m = step_fn(carry, bt)
+                return st2, m["loss"]
+            st, losses = jax.lax.scan(body, st, jnp.arange(n_iters))
+            return st, jnp.sum(losses)
+
+        def timed_scan(st, seed):
+            t0 = time.perf_counter()
+            st, s = train_scan(st, jnp.int32(seed))
+            float(s)
+            return time.perf_counter() - t0, st
+
         t0 = time.perf_counter()
-        state2, m = step_fn(state, batch0)
-        float(m["loss"])
+        _, state2 = timed_scan(state, 0)
         print(f"# train b{b} compile+first: {time.perf_counter() - t0:.1f}s",
               file=sys.stderr, flush=True)
         times = []
         for r in range(max(args.repeats, 3)):
-            batch_r = make_batch(b, r + 1)
-            t0 = time.perf_counter()
-            state2, m = step_fn(state2, batch_r)
-            float(m["loss"])
-            times.append(time.perf_counter() - t0)
-        t_step = max(min(times) - overhead, 1e-9)
+            t, state2 = timed_scan(state2, r + 1)
+            times.append(t)
+        t_step = max((min(times) - overhead) / n_iters, 1e-9)
         ips = b / t_step
         sweep[str(b)] = round(ips, 2)
-        print(f"# train b{b}: {ips:.1f} img/s ({t_step * 1000:.0f} ms/step)",
-              file=sys.stderr, flush=True)
+        print(f"# train b{b}: {ips:.1f} img/s ({t_step * 1000:.0f} ms/step, "
+              f"{n_iters} steps/dispatch)", file=sys.stderr, flush=True)
         if best is None or ips > best[0]:
             best = (ips, b, t_step)
 
@@ -483,6 +499,15 @@ def train_throughput(args):
         "tflops_per_sec": round(tflops, 2),
         "mfu": mfu,
         "relay_overhead_ms": round(overhead * 1000, 2),
+        "steps_per_dispatch": n_iters,
+        "harness": "train-scan-v2",
+        "note": "not comparable to round<=4 train numbers: those timed ONE "
+                "step per dispatch and the unamortized relay round trip + "
+                "arg marshalling inflated the step ~45% (281 ms wall vs "
+                "194.2 ms device at b16, tools/trace_train_fwd.py); v2 "
+                "scans steps inside one dispatch like the caption harness. "
+                "Per-step device-RNG batch generation (~6 ms) rides inside "
+                "the timing.",
     }
 
     if args.attribution:
@@ -496,26 +521,30 @@ def train_throughput(args):
         from prismer_tpu.data.device import materialize_experts
 
         @jax.jit
-        def fwd_only(variables, batch):
-            experts = materialize_experts(batch["experts"])
-            per = model.apply(variables, experts, batch["input_ids"],
-                              batch["attention_mask"], batch["targets"],
-                              train=False, method=Prismer.forward_loss)
-            return jnp.mean(per)
+        def fwd_scan(variables, seed):
+            def body(c, i):
+                batch = batch_from_key(b, jax.random.fold_in(
+                    jax.random.key(seed), i))
+                experts = materialize_experts(batch["experts"])
+                per = model.apply(variables, experts, batch["input_ids"],
+                                  batch["attention_mask"], batch["targets"],
+                                  train=False, method=Prismer.forward_loss)
+                return c + jnp.mean(per), None
+            out_, _ = jax.lax.scan(body, jnp.float32(0),
+                                   jnp.arange(n_iters))
+            return out_
 
         v_infer = {"params": state2.params, "batch_stats": state2.batch_stats}
-        batch0 = make_batch(b, 101)
         t0 = time.perf_counter()
-        float(fwd_only(v_infer, batch0))
+        float(fwd_scan(v_infer, jnp.int32(101)))
         print(f"# train fwd-only compile+first: "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
         fts = []
         for r in range(max(args.repeats, 3)):
-            br = make_batch(b, 200 + r)
             t0 = time.perf_counter()
-            float(fwd_only(v_infer, br))
+            float(fwd_scan(v_infer, jnp.int32(200 + r)))
             fts.append(time.perf_counter() - t0)
-        t_fwd = max(min(fts) - overhead, 1e-9)
+        t_fwd = max((min(fts) - overhead) / n_iters, 1e-9)
         out["fwd_ms"] = round(t_fwd * 1000, 1)
         out["bwd_opt_ms"] = round((best[2] - t_fwd) * 1000, 1)
         print(f"# train attribution b{b}: fwd {t_fwd * 1000:.1f} ms, "
