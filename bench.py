@@ -519,13 +519,15 @@ def train_throughput(args):
         b = best[1]
         from prismer_tpu.models.prismer import Prismer
         from prismer_tpu.data.device import materialize_experts
+        from prismer_tpu.models.prismer import _DTYPES as _DTYPES_MAT
 
         @jax.jit
         def fwd_scan(variables, seed):
             def body(c, i):
                 batch = batch_from_key(b, jax.random.fold_in(
                     jax.random.key(seed), i))
-                experts = materialize_experts(batch["experts"])
+                experts = materialize_experts(batch["experts"],
+                                  _DTYPES_MAT[cfg.dtype])
                 per = model.apply(variables, experts, batch["input_ids"],
                                   batch["attention_mask"], batch["targets"],
                                   train=False, method=Prismer.forward_loss)

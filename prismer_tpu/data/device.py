@@ -28,18 +28,27 @@ def materialize_experts(raw: Dict[str, Any], dtype=jnp.float32
       dense experts    (B,H,W,C) f32 already in [-1,1]
       id experts       {'ids': (B,H,W) u8, 'table': (B,256,64) f32,
                         ['instance': (B,H,W) u8]}
-    """
+
+    `dtype` is the OUTPUT storage dtype. Pass the model's compute dtype
+    (bf16) to halve the HBM traffic of the big (B, H, W, 64) materialized
+    id maps — the stems cast their inputs to the compute dtype anyway, and
+    the values are bit-identical (normalization arithmetic stays fp32 here
+    and is cast at the end; a table gather commutes with the cast), so the
+    f32 materialization was pure wasted bandwidth on the bf16 path
+    (~0.9 GB/step write+read at b16 train, re-read again by the remat
+    backward)."""
     out: Dict[str, Any] = {}
     for exp, v in raw.items():
         name = canonical_expert(exp)
         if name == "rgb" and not isinstance(v, dict) and v.dtype == jnp.uint8:
             # host ships raw uint8 frames (transform.RGB_DEVICE_NORM); the
             # /255 + CLIP pixel normalization runs here as one fused f32
-            # expression (dataset/utils.py:66-67 semantics)
+            # expression (dataset/utils.py:66-67 semantics), cast at the end
             from prismer_tpu.data.transform import CLIP_MEAN, CLIP_STD
-            x = v.astype(dtype) / jnp.asarray(255.0, dtype)
-            out[name] = (x - jnp.asarray(CLIP_MEAN, dtype)) / jnp.asarray(
-                CLIP_STD, dtype)
+            x = v.astype(jnp.float32) / jnp.float32(255.0)
+            x = (x - jnp.asarray(CLIP_MEAN, jnp.float32)) / jnp.asarray(
+                CLIP_STD, jnp.float32)
+            out[name] = x.astype(dtype)
         elif isinstance(v, dict) and "ids" not in v:
             out[name] = v  # already materialized (idempotent)
         elif isinstance(v, dict):

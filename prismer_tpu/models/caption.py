@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from prismer_tpu.models.generation import beam_search, rank_answers
-from prismer_tpu.models.prismer import Prismer
+from prismer_tpu.models.prismer import Prismer, compute_dtype
 
 from prismer_tpu.tokenizer import BPETokenizer
 
@@ -98,7 +98,7 @@ def build_generate_fn(model: Prismer, *, num_beams: int = GEN_NUM_BEAMS,
 
     @_jax.jit
     def fn(variables, experts_raw, prompt_ids, prompt_mask):
-        experts = materialize_experts(experts_raw)
+        experts = materialize_experts(experts_raw, compute_dtype(model.cfg))
         enc = model.apply(variables, experts, method=Prismer.encode)
         seqs, scores = beam_search(
             model, variables, enc, prompt_ids, prompt_mask,
@@ -134,7 +134,7 @@ def build_sharded_generate_fn(model: Prismer, mesh, *,
     from prismer_tpu.data.device import materialize_experts
 
     def local(variables, experts_raw, prompt_ids, prompt_mask):
-        experts = materialize_experts(experts_raw)
+        experts = materialize_experts(experts_raw, compute_dtype(model.cfg))
         enc = model.apply(variables, experts, method=Prismer.encode)
         seqs, _ = beam_search(
             model, variables, enc, prompt_ids, prompt_mask,
@@ -163,7 +163,7 @@ def build_rank_fn(model: Prismer, *, k_test: int):
     @_jax.jit
     def fn(variables, experts_raw, prompt_ids, prompt_mask, answer_ids,
            answer_mask):
-        experts = materialize_experts(experts_raw)
+        experts = materialize_experts(experts_raw, compute_dtype(model.cfg))
         enc = model.apply(variables, experts, method=Prismer.encode)
         return rank_answers(
             model, variables, enc, prompt_ids, prompt_mask, answer_ids,

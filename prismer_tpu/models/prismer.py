@@ -27,6 +27,13 @@ _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
            "float16": jnp.float16}
 
 
+def compute_dtype(cfg) -> Any:
+    """The model's compute dtype (PrismerConfig.dtype as a jnp dtype) —
+    also the storage dtype callers should materialize expert inputs in
+    (data/device.materialize_experts)."""
+    return _DTYPES[cfg.dtype]
+
+
 class Prismer(nn.Module):
     """Expert encoder + text decoder. All task heads build on these methods."""
 

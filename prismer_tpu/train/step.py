@@ -43,12 +43,16 @@ def build_train_step(model: Prismer, tx: optax.GradientTransformation,
             'targets': (B,L) with -100 ignore, optional 'weights': (B,)}."""
 
     from prismer_tpu.data.device import materialize_experts
+    from prismer_tpu.models.prismer import compute_dtype
 
     def loss_fn(params, batch_stats, batch, dropout_rng, instance_rng):
         p = _merge_frozen(params, freeze_tree)
         variables = {"params": p, "batch_stats": batch_stats}
         rngs = {"dropout": dropout_rng, "instance": instance_rng}
-        experts = materialize_experts(batch["experts"])
+        # materialize in the compute dtype: bit-identical stem inputs, half
+        # the HBM traffic on the big id maps (re-read by the remat backward)
+        experts = materialize_experts(batch["experts"],
+                                      compute_dtype(model.cfg))
         per_sample, mutated = model.apply(
             variables, experts, batch["input_ids"],
             batch["attention_mask"], batch["targets"], train=True,
@@ -78,9 +82,11 @@ def build_eval_loss_step(model: Prismer) -> Callable:
     """Jitted eval-mode loss (no dropout, BN running stats)."""
 
     from prismer_tpu.data.device import materialize_experts
+    from prismer_tpu.models.prismer import compute_dtype
 
     def step(variables, batch):
-        experts = materialize_experts(batch["experts"])
+        experts = materialize_experts(batch["experts"],
+                                      compute_dtype(model.cfg))
         per_sample = model.apply(variables, experts,
                                  batch["input_ids"],
                                  batch["attention_mask"],

@@ -359,3 +359,46 @@ def test_vectorized_path_is_default_and_rng_stream_shared():
     pyrandom.seed(7)
     out = tf(img, bad)  # must not raise; PIL semantics apply
     assert out["depth"].shape == (224, 224, 1)
+
+
+def test_materialize_bf16_matches_f32_then_cast():
+    """Materializing expert inputs in the compute dtype (bf16) must be
+    BIT-IDENTICAL to f32 materialization followed by the stems' cast —
+    the round-5 traffic halving must not move a single value (the table
+    gather commutes with the cast; RGB normalization arithmetic stays
+    f32 inside materialize_experts and is cast at the end)."""
+    rng = np.random.default_rng(3)
+    raw = {
+        "rgb": jnp.asarray(rng.integers(0, 256, (2, 16, 16, 3),
+                                        dtype=np.uint8)),
+        "depth": jnp.asarray(
+            rng.uniform(-1, 1, (2, 8, 8, 1)).astype(np.float32)),
+        "seg_coco": {
+            "ids": jnp.asarray(rng.integers(0, 256, (2, 8, 8),
+                                            dtype=np.uint8)),
+            "table": jnp.asarray(
+                rng.standard_normal((2, 256, 64)).astype(np.float32)),
+        },
+        "obj_detection": {
+            "ids": jnp.asarray(rng.integers(0, 256, (2, 8, 8),
+                                            dtype=np.uint8)),
+            "table": jnp.asarray(
+                rng.standard_normal((2, 256, 64)).astype(np.float32)),
+            "instance": jnp.asarray(rng.integers(0, 8, (2, 8, 8),
+                                                 dtype=np.uint8)),
+        },
+    }
+    out32 = materialize_experts(raw)
+    out16 = materialize_experts(raw, jnp.bfloat16)
+    for k in ("rgb", "depth", "seg"):
+        want = np.asarray(out32[k].astype(jnp.bfloat16))
+        got = np.asarray(out16[k])
+        assert got.dtype == np.dtype("bfloat16") or got.dtype.name == "bfloat16"
+        np.testing.assert_array_equal(
+            got.view(np.uint16), want.view(np.uint16), err_msg=k)
+    np.testing.assert_array_equal(
+        np.asarray(out16["obj_detection"]["label"]).view(np.uint16),
+        np.asarray(out32["obj_detection"]["label"].astype(
+            jnp.bfloat16)).view(np.uint16))
+    # instance ids must remain untouched integers
+    assert out16["obj_detection"]["instance"].dtype == jnp.uint8

@@ -62,6 +62,7 @@ def main():
     import optax
 
     from prismer_tpu.data.device import materialize_experts
+    from prismer_tpu.models.prismer import _DTYPES as _DTYPES_MAT
     from prismer_tpu.models.prismer import Prismer
     from prismer_tpu.train import build_train_step
     from prismer_tpu.train.optim import freeze_labels, make_optimizer
@@ -96,7 +97,8 @@ def main():
 
     @jax.jit
     def fwd_only(variables, batch):
-        experts = materialize_experts(batch["experts"])
+        experts = materialize_experts(batch["experts"],
+                                  _DTYPES_MAT[cfg.dtype])
         per = model.apply(variables, experts, batch["input_ids"],
                           batch["attention_mask"], batch["targets"],
                           train=False, method=Prismer.forward_loss)
