@@ -354,8 +354,10 @@ def beam_search(model: Prismer, variables: Dict[str, Any],
     t = max_length
     assert p < t, "prompt longer than max_length"
 
-    from prismer_tpu.models.roberta import use_fused_decode, fused_rows_ok
-    if use_fused_decode() and not fused_rows_ok(b * k):
+    from prismer_tpu.models.roberta import (use_fused_decode, fused_rows_ok,
+                                            fused_dims_ok)
+    dims_ok = fused_dims_ok(model.cfg.decoder)
+    if use_fused_decode() and dims_ok and not fused_rows_ok(b * k):
         # Mosaic 8-row alignment (roberta.fused_rows_ok): rather than fall
         # back to the slower XLA decode path for the whole batch (the round-4
         # prismer_huge b4 perf cliff), pad the BATCH with copies of sample 0
@@ -381,11 +383,11 @@ def beam_search(model: Prismer, variables: Dict[str, Any],
     packed = {}
     if "packed_decode" in variables:
         packed = variables["packed_decode"].get("text_decoder", {})
-    # Mosaic 8-row alignment (roberta.fused_rows_ok): misaligned B*K row
-    # counts take the XLA paths on TPU for the whole kernel serving stack
-    # (only reachable on TPU when fused decode is globally off — aligned
-    # row counts are guaranteed by the batch padding above otherwise)
-    rows_ok = fused_rows_ok(b * k)
+    # Mosaic gates (roberta.fused_rows_ok / fused_dims_ok): misaligned B*K
+    # row counts or non-128-lane model dims take the XLA paths on TPU for
+    # the whole kernel serving stack (misaligned rows on an aligned-dims
+    # model are already fixed by the batch padding above)
+    rows_ok = fused_rows_ok(b * k) and dims_ok
     use_lm_kernel = (LM_TOPK_IMPL == "kernel" and "emb_tp" in packed
                      and use_fused_decode() and rows_ok)
 

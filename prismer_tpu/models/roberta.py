@@ -77,6 +77,22 @@ def fused_rows_ok(n_rows: int, backend: Optional[str] = None) -> bool:
     return n_rows % 8 == 0 or backend != "tpu"
 
 
+def fused_dims_ok(cfg, backend: Optional[str] = None) -> bool:
+    """Mosaic lane-alignment gate for the fused kernel serving stack: the
+    kernels slice packed weight/cache memrefs along the lane (last) dim in
+    hidden_size units, so on TPU the model dims must be 128-lane-aligned.
+    Every production config is (BASE 768/3072, LARGE+huge decoder
+    1024/4096); tiny test configs (hidden 64) are not — round 5's
+    misaligned-BATCH padding exposed that the old row gate was the only
+    thing routing them to the XLA path on chip ("Slice shape along
+    dimension 2 must be aligned to tiling (128)" from a real-TPU quick-mode
+    run). CPU interpret mode has no constraint."""
+    backend = backend or jax.default_backend()
+    if backend != "tpu":
+        return True
+    return cfg.hidden_size % 128 == 0 and cfg.intermediate_size % 128 == 0
+
+
 # int8 cross-KV serving mode (fused decode only): halves the dominant
 # per-step decode HBM stream (the 13 layers re-read the full cross-K/V every
 # step) at a per-(layer, sample, head) symmetric-quantization cost comparable
@@ -620,7 +636,8 @@ class RobertaCausalDecoder(nn.Module):
         hidden = self.embeddings(input_ids, position_ids)
         enc = encoder_hidden_states.astype(self.dtype)
 
-        fused = use_fused_decode() and fused_rows_ok(input_ids.shape[0])
+        fused = (use_fused_decode() and fused_rows_ok(input_ids.shape[0])
+                 and fused_dims_ok(c))
         quant = use_kv_quant()
         kts, vs = [], []
         ckts, cvs = [], []          # XLA path: head-split layouts

@@ -48,9 +48,11 @@ def real_tree(tmp_path_factory):
 
 
 def _env(root):
-    return dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo",
-                PRISMER_EXPERT_WEIGHTS=str(root / "no_weights"),
-                PRISMER_TOKENIZER_DIR=str(root / "tok"))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo",
+               PRISMER_EXPERT_WEIGHTS=str(root / "no_weights"),
+               PRISMER_TOKENIZER_DIR=str(root / "tok"))
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # else sitecustomize forces the axon TPU backend over JAX_PLATFORMS=cpu
+    return env
 
 
 def test_expert_generate_and_demo_on_real_images(real_tree):

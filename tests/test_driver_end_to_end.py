@@ -77,6 +77,7 @@ def test_train_caption_driver_end_to_end(coco_tree):
                XLA_FLAGS="--xla_force_host_platform_device_count=8",
                PYTHONPATH="/root/repo",
                PRISMER_TOKENIZER_DIR=str(coco_tree / "tok"))
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # else sitecustomize forces the axon TPU backend over JAX_PLATFORMS=cpu
     out = subprocess.run(
         [sys.executable, "-m", "prismer_tpu.cli.train_caption",
          "--config", str(coco_tree / "caption.yaml"),

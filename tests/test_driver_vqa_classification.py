@@ -51,6 +51,7 @@ def _run(module, cfg_path, root, extra=()):
                XLA_FLAGS="--xla_force_host_platform_device_count=8",
                PYTHONPATH="/root/repo",
                PRISMER_TOKENIZER_DIR=str(root / "tok"))
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # else sitecustomize forces the axon TPU backend over JAX_PLATFORMS=cpu
     return subprocess.run(
         [sys.executable, "-m", f"prismer_tpu.cli.{module}",
          "--config", str(cfg_path), "--exp_name", "e2e",

@@ -58,6 +58,7 @@ def test_generate_labels_end_to_end(tmp_path, task):
 
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo",
                PRISMER_EXPERT_WEIGHTS=str(tmp_path / "nonexistent"))
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # else sitecustomize forces the axon TPU backend over JAX_PLATFORMS=cpu
     out = subprocess.run(
         [sys.executable, "-m", "prismer_tpu.experts.generate",
          "--task", task, "--data_path", str(tmp_path / "helpers"),

@@ -502,3 +502,22 @@ def test_misaligned_batch_pads_to_fused_path(monkeypatch):
     np.testing.assert_array_equal(np.asarray(seq_pad), np.asarray(seq_ref))
     np.testing.assert_allclose(np.asarray(sc_pad), np.asarray(sc_ref),
                                atol=1e-5)
+
+
+def test_fused_dims_ok_lane_alignment_gate():
+    # Mosaic slices packed memrefs in hidden_size lane units: non-128-
+    # aligned model dims must route to the XLA path on TPU (a tiny-config
+    # quick-mode run on chip crashed Mosaic once the batch padding routed
+    # it into the kernels), while production dims and CPU interpret mode
+    # pass.
+    tiny = decoder_cfg()  # hidden 64 / intermediate 128
+    assert rb.fused_dims_ok(tiny, backend="cpu")
+    assert not rb.fused_dims_ok(tiny, backend="tpu")
+
+    import dataclasses
+    base_like = dataclasses.replace(tiny, hidden_size=768,
+                                    intermediate_size=3072)
+    assert rb.fused_dims_ok(base_like, backend="tpu")
+    large_like = dataclasses.replace(tiny, hidden_size=1024,
+                                     intermediate_size=4096)
+    assert rb.fused_dims_ok(large_like, backend="tpu")
