@@ -1,5 +1,6 @@
 #!/bin/bash
-# Round-5 TRAIN-path A/B: fused LN->projection kernels in the train step
+# MOOT (round 5): ln_proj was REJECTED on the serving A/B (-9.2% e2e,
+# ab_ln_proj.log) — this train-path A/B is retained only for provenance
 # (custom_vjp backward recomputes via the identical XLA composition).
 # Run ONLY after the serving A/B adopts ln_proj. One TPU job at a time.
 # Usage: bash tools/ab_train_lnproj_r5.sh [batch] >> ab_train_lnproj.log 2>&1
