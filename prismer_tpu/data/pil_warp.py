@@ -93,24 +93,6 @@ def affine_fixed_grid(coeffs: Sequence[float], out_wh: Tuple[int, int],
             np.clip(yi, 0, h_in - 1, out=yi), oob)
 
 
-def affine_nearest_grid(coeffs: Sequence[float], out_wh: Tuple[int, int],
-                        in_wh: Tuple[int, int]
-                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(xi, yi, oob) grids replicating ``img.transform(out_wh, AFFINE,
-    coeffs, NEAREST)`` — which C kernel runs depends on the coefficients,
-    exactly as in Pillow's dispatch."""
-    a, b, c, d, e, f = (float(v) for v in coeffs)
-    w_out, h_out = out_wh
-    w_in, h_in = in_wh
-    if b == 0.0 and d == 0.0:
-        xi1, oobx = scale_axis_map(a, c, w_out, w_in)
-        yi1, ooby = scale_axis_map(e, f, h_out, h_in)
-        oob = ooby[:, None] | oobx[None, :]
-        return (np.broadcast_to(xi1[None, :], (h_out, w_out)),
-                np.broadcast_to(yi1[:, None], (h_out, w_out)), oob)
-    return affine_fixed_grid(coeffs, out_wh, in_wh)
-
-
 def rotate_coeffs(angle: float, w: int, h: int) -> Coeffs:
     """The output->input AFFINE coefficients PIL.Image.rotate(angle,
     expand=False) builds before calling transform (PIL/Image.py rotate)."""
@@ -240,16 +222,3 @@ class LabelGather:
         return flat_src[self._flat]
 
 
-def compose_label_grid(src_wh: Tuple[int, int],
-                       crop: Tuple[int, int, int, int] | None,
-                       flip: bool, geo_coeffs: List[Coeffs],
-                       label_resolution: int = 224
-                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(src_y, src_x, oob) grids form of LabelGather (kept for tests and
-    tooling; the transform hot path uses LabelGather directly)."""
-    lg = LabelGather(src_wh, crop, flip, geo_coeffs, label_resolution)
-    h, w = lg._src_hw
-    flat = lg._flat
-    oob = flat == h * w
-    flat = np.where(oob, 0, flat)
-    return flat // w, flat % w, oob

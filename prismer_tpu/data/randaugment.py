@@ -148,7 +148,7 @@ class RandAugment:
     def rgb_and_coeffs(self, img: Image.Image
                        ) -> Tuple[Image.Image, List[Coeffs]]:
         """Vectorized-label path: apply ops to RGB, return label affine
-        coefficients (application order) for pil_warp.compose_label_grid."""
+        coefficients (application order) for pil_warp.LabelGather."""
         coeffs: List[Coeffs] = []
         img, _ = self._run(img, None, coeffs)
         return img, coeffs
