@@ -356,7 +356,8 @@ def beam_search(model: Prismer, variables: Dict[str, Any],
 
     from prismer_tpu.models.roberta import (use_fused_decode, fused_rows_ok,
                                             fused_dims_ok)
-    dims_ok = fused_dims_ok(model.cfg.decoder)
+    cfg_ = getattr(model, "cfg", None)  # beam-search test stubs carry none
+    dims_ok = fused_dims_ok(cfg_.decoder if cfg_ is not None else None)
     if use_fused_decode() and dims_ok and not fused_rows_ok(b * k):
         # Mosaic 8-row alignment (roberta.fused_rows_ok): rather than fall
         # back to the slower XLA decode path for the whole batch (the round-4
