@@ -40,7 +40,6 @@ nominal peak).
 """
 
 import argparse
-import functools
 import json
 import os
 import sys

@@ -33,8 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from prismer_tpu.models.prismer import Prismer
-from prismer_tpu.models.roberta import (label_smoothed_loss,
-                                        num_valid_targets)
+from prismer_tpu.models.roberta import num_valid_targets
 
 NEG_INF = -1.0e7
 
