@@ -298,6 +298,8 @@ def _random_label_set(rng, w, h):
             rng.integers(0, 256, (h, w), dtype=np.uint8), "L"),
         "seg_coco": Image.fromarray(
             rng.integers(0, 134, (h, w), dtype=np.uint8), "L"),
+        "seg_ade": Image.fromarray(
+            rng.integers(0, 151, (h, w), dtype=np.uint8), "L"),
         "obj_detection": Image.fromarray(
             rng.choice([0, 3, 7, 255], (h, w)).astype(np.uint8), "L"),
         "ocr_detection": Image.fromarray(

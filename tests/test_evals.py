@@ -296,3 +296,30 @@ def test_meteor_hand_derived_formula_fixtures():
     assert math.isclose(scores[1], sa, rel_tol=1e-12)
     assert math.isclose(scores[2], sb, rel_tol=1e-12)
     assert math.isclose(corpus, want_d, rel_tol=1e-12)
+
+
+def test_meteor_hand_derived_best_ref_and_function_words():
+    """Two more published-formula derivations: (F) best-reference selection
+    must pick the reference whose CHUNK structure scores higher when
+    P/R tie, and (G) an all-function-word exact match scores via the
+    1-delta weights (never zero)."""
+    from prismer_tpu.evals.meteor import meteor_sentence
+
+    # F: cand "a red car" vs ref1 "a blue car" (2 matches, 2 chunks) and
+    #    ref2 "a red bus" (2 matches, 1 chunk). Both give
+    #    twm=rwm=0.25+0.75=1.0 and twl=rwl=1.75, so fmean is equal and the
+    #    chunk penalty decides: ref2 wins with 0.6*(1/2)^0.2.
+    p = 1.0 / 1.75
+    fmean = p * p / (0.85 * p + 0.15 * p)
+    s_ref1 = fmean * (1.0 - 0.6 * (2 / 2) ** 0.2)
+    s_ref2 = fmean * (1.0 - 0.6 * (1 / 2) ** 0.2)
+    assert s_ref2 > s_ref1
+    got = meteor_sentence(["a", "red", "car"],
+                          [["a", "blue", "car"], ["a", "red", "bus"]])
+    assert math.isclose(got, s_ref2, rel_tol=1e-12), (got, s_ref2)
+
+    # G: "the of" self-match — both function words (weight 1-delta=0.25):
+    #    twm=twl=0.5 -> P=R=1, fmean=1, penalty=0.6*(1/2)^0.2
+    want = 1.0 - 0.6 * 0.5 ** 0.2
+    got = meteor_sentence(["the", "of"], [["the", "of"]])
+    assert math.isclose(got, want, rel_tol=1e-12), (got, want)
